@@ -1,0 +1,218 @@
+"""End-to-end broker rounds against the in-process fake API.
+
+Exercises the full serving path of SURVEY.md §3.1: poll -> ticket -> target
+-> similarities -> optimize -> query_result -> scores -> selection -> match
+records -> report/finalize, including the process-state machine and the
+bootstrapped-target DB-resume contract.
+"""
+
+import json
+import os
+import random
+
+import numpy as np
+import pytest
+
+from videoquery.core.config import (
+    HyperParams,
+    STATE_ERROR,
+    STATE_FINALIZED,
+    STATE_PROCESSED,
+)
+from videoquery.service.compute_matches import compute_matches
+from videoquery.service.repository import APIRepository
+from videoquery.testing.fake_api import FakeAPI, FakeClient
+
+REF_ROOT = "/root/reference/data/features"
+STREAMS = ("rgb", "warped_optical_flow")
+
+
+def seed_from_fixture(api: FakeAPI, corpus="stock-video-clips_features"):
+    """Populate the fake API from the checked-in reference CSVs."""
+    from videoquery.index.csvio import read_feature_tree
+
+    root = os.path.join(REF_ROOT, corpus)
+    videos = {}
+    clip_ids = {}
+    for video_name, split, csvf in read_feature_tree(root):
+        if video_name not in videos:
+            videos[video_name] = api.add_video(csvf.video, csvf.video_url)
+        video = videos[video_name]
+        for clip_no, vec in zip(csvf.clip_numbers, csvf.features):
+            key = (video_name, int(clip_no))
+            if key not in clip_ids:
+                clip_ids[key] = api.add_clip(video["id"], int(clip_no))["id"]
+            api.add_feature(clip_ids[key], csvf.stream, split, vec)
+    return videos, clip_ids
+
+
+def make_repo(api):
+    return APIRepository(FakeClient(api), "fake://")
+
+
+@pytest.fixture(scope="module")
+def fixture_api_template():
+    if not os.path.isdir(REF_ROOT):
+        pytest.skip("reference fixtures unavailable")
+    api = FakeAPI()
+    videos, clip_ids = seed_from_fixture(api)
+    return api, videos, clip_ids
+
+
+def fresh_query(api, videos, clip_ids, dyn=False, max_matches=10):
+    video = next(iter(videos.values()))
+    vname = next(iter(videos))
+    ref_clip_id = clip_ids[(vname, 1)]
+    search = api.add_search_set(
+        "all", [cid for (v, c), cid in clip_ids.items()]
+    )
+    return api.add_query(
+        f"q{api.next_id()}", video["id"], 1, ref_clip_id, search["id"],
+        max_matches_for_review=max_matches, dynamic_target_adjustment=dyn,
+    )
+
+
+def test_new_job_round(fixture_api_template):
+    api, videos, clip_ids = fixture_api_template
+    query = fresh_query(api, videos, clip_ids)
+    hp = HyperParams()
+    compute_matches(make_repo(api), hp, rng=random.Random(0), exact=True)
+
+    q = api.queries[query["id"]]
+    assert q["process_state"] == STATE_PROCESSED
+    results = [r for r in api.query_results.values() if r["query"] == query["id"]]
+    assert len(results) == 1
+    assert results[0]["round"] == 1
+    assert results[0]["match_criterion"] == hp.default_threshold
+    assert results[0]["weights"] == [1.0, 1.5]
+    target = json.loads(results[0]["bootstrapped_target"])
+    assert set(target) == set(STREAMS)
+    matches = [m for m in api.matches.values()
+               if m["query_result"] == results[0]["id"]]
+    assert 1 <= len(matches) <= 10
+    # the reference clip must be among the matches with score 1.0
+    ref_id = query["ref_clip_id"]
+    ref_match = [m for m in matches if m["video_clip"] == ref_id]
+    assert ref_match and abs(ref_match[0]["score"] - 1.0) < 1e-9
+
+
+def run_full_lifecycle(api, videos, clip_ids, dyn, bootstrap_type="bagging"):
+    import dataclasses
+
+    query = fresh_query(api, videos, clip_ids, dyn=dyn)
+    hp = HyperParams(bootstrap_type=bootstrap_type)
+    repo = make_repo(api)
+    rng = random.Random(1)
+
+    compute_matches(repo, hp, rng=rng, exact=True)
+    assert api.queries[query["id"]]["process_state"] == STATE_PROCESSED
+
+    # the user reviews: mark the ref clip + best two as matches, worst as not
+    r1 = max(
+        (r for r in api.query_results.values() if r["query"] == query["id"]),
+        key=lambda r: r["round"],
+    )
+    round_matches = sorted(
+        (m for m in api.matches.values() if m["query_result"] == r1["id"]),
+        key=lambda m: -m["score"],
+    )
+    for m in round_matches[:3]:
+        api.set_user_match(m["id"], True)
+    api.set_user_match(round_matches[-1]["id"], False)
+    api.request_revision(query["id"])
+
+    compute_matches(repo, hp, rng=rng, exact=True)
+    assert api.queries[query["id"]]["process_state"] == STATE_PROCESSED
+    r2 = max(
+        (r for r in api.query_results.values() if r["query"] == query["id"]),
+        key=lambda r: r["round"],
+    )
+    assert r2["round"] == 2
+    # optimizer ran: threshold inside the grid minus eps, weights pinned rgb=1
+    assert 0.5 - 1e-5 <= r2["match_criterion"] <= 1.1
+    assert r2["weights"][0] == 1.0
+
+    # user confirms again, then finalizes
+    round2_matches = sorted(
+        (m for m in api.matches.values() if m["query_result"] == r2["id"]),
+        key=lambda m: -m["score"],
+    )
+    api.set_user_match(round2_matches[0]["id"], True)
+    api.request_finalize(query["id"])
+    compute_matches(repo, hp, rng=rng, exact=True)
+    assert api.queries[query["id"]]["process_state"] == STATE_FINALIZED
+    assert query["id"] in api.uploaded_reports
+    report = api.uploaded_reports[query["id"]]
+    assert "min score for a match:" in report
+    assert "bootstrap type:" in report
+    return query, report
+
+
+def test_full_lifecycle_static_target(fixture_api_template, tmp_path, monkeypatch):
+    api, videos, clip_ids = fixture_api_template
+    monkeypatch.chdir(tmp_path)
+    run_full_lifecycle(api, videos, clip_ids, dyn=False)
+
+
+def test_full_lifecycle_dynamic_target_bagging(fixture_api_template, tmp_path,
+                                               monkeypatch):
+    api, videos, clip_ids = fixture_api_template
+    monkeypatch.chdir(tmp_path)
+    query, report = run_full_lifecycle(api, videos, clip_ids, dyn=True)
+    # the finalize round's target must have been bootstrapped (differs from
+    # the round-1 scaled-ref target)
+    results = sorted(
+        (r for r in api.query_results.values() if r["query"] == query["id"]),
+        key=lambda r: r["round"],
+    )
+    t1 = json.loads(results[0]["bootstrapped_target"])
+    t3 = json.loads(results[-1]["bootstrapped_target"])
+    v1 = np.asarray(t1["rgb"][next(iter(t1["rgb"]))])
+    v3 = np.asarray(t3["rgb"][next(iter(t3["rgb"]))])
+    assert not np.allclose(v1, v3)
+
+
+def test_fatal_error_missing_ref_clip(fixture_api_template):
+    api, videos, clip_ids = fixture_api_template
+    video = next(iter(videos.values()))
+    search = api.add_search_set("s", list(clip_ids.values()))
+    query = api.add_query("broken", video["id"], 99, None, search["id"])
+    compute_matches(make_repo(api), HyperParams(), rng=random.Random(0), exact=True)
+    q = api.queries[query["id"]]
+    assert q["process_state"] == STATE_ERROR
+    assert "Fatal Error" in q["notes"]
+
+
+def test_dynamic_downgrade_without_user_matches(fixture_api_template):
+    """Revise with dynamic_target_adjustment but no user matches downgrades
+    to static target with a note (ticket.py:96-107)."""
+    api, videos, clip_ids = fixture_api_template
+    query = fresh_query(api, videos, clip_ids, dyn=True)
+    repo = make_repo(api)
+    compute_matches(repo, HyperParams(), rng=random.Random(0), exact=True)
+    api.request_revision(query["id"])
+    compute_matches(repo, HyperParams(), rng=random.Random(0), exact=True)
+    q = api.queries[query["id"]]
+    assert q["process_state"] == STATE_PROCESSED
+    assert "Changing dynamic target adjustment to False" in q["notes"]
+
+
+def test_seeded_rounds_reproducible(fixture_api_template):
+    """Identical seeds must produce identical match selections
+    (RANDOM_SEED contract, README.md:35-38)."""
+    api, videos, clip_ids = fixture_api_template
+
+    def run(seed):
+        q = fresh_query(api, videos, clip_ids, max_matches=6)
+        compute_matches(make_repo(api), HyperParams(),
+                        rng=random.Random(seed), exact=True)
+        r = max(
+            (r for r in api.query_results.values() if r["query"] == q["id"]),
+            key=lambda r: r["round"],
+        )
+        return sorted(
+            m["video_clip"] for m in api.matches.values()
+            if m["query_result"] == r["id"]
+        )
+
+    assert run(7) == run(7)

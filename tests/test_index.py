@@ -1,0 +1,103 @@
+"""FeatureIndex construction, padding, and CSV round-trip/compat."""
+
+import os
+
+import numpy as np
+import pytest
+
+from videoquery.index.csvio import (
+    read_feature_tree,
+    read_features_csv,
+    write_features_csv,
+)
+from videoquery.index.store import FeatureIndex, FeatureRecord
+
+REF_ROOT = "/root/reference/data/features"
+
+
+def test_index_build_and_padding(rng):
+    records = [
+        FeatureRecord(5, "rgb", 1, "global_pool", rng.normal(size=4)),
+        FeatureRecord(2, "rgb", 1, "global_pool", rng.normal(size=4)),
+        FeatureRecord(2, "warped_optical_flow", 2, "global_pool", rng.normal(size=4)),
+    ]
+    idx = FeatureIndex.build(
+        records, ("rgb", "warped_optical_flow"), feature_dim=4, pad_multiple=8
+    )
+    assert idx.n_clips == 2
+    assert idx.n_padded == 8
+    assert list(idx.clip_ids) == [2, 5]
+    assert idx.splits == (1, 2)
+    mask = np.asarray(idx.mask)
+    assert mask.sum() == 3
+    assert not mask[:, :, 2:].any()  # padding rows never masked in
+
+
+def test_index_rejects_dim_mismatch(rng):
+    records = [
+        FeatureRecord(1, "rgb", 1, "global_pool", rng.normal(size=4)),
+        FeatureRecord(2, "rgb", 1, "global_pool", rng.normal(size=5)),
+    ]
+    with pytest.raises(ValueError):
+        FeatureIndex.build(records, ("rgb",), feature_dim=4)
+
+
+def test_csv_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "rgb_global_pool_features.csv")
+    vecs = rng.normal(size=(3, 16))
+    write_features_csv(
+        path, "vid", "../vid/", "rgb", "global_pool", "/w.caffemodel",
+        [(i + 1, v) for i, v in enumerate(vecs)],
+    )
+    out = read_features_csv(path)
+    assert out.video == "vid"
+    assert out.stream == "rgb"
+    assert out.feature_blob == "global_pool"
+    assert out.weights_uri == "/w.caffemodel"
+    np.testing.assert_array_equal(out.clip_numbers, [1, 2, 3])
+    np.testing.assert_allclose(out.features, vecs, rtol=1e-15)
+
+
+def test_csv_header_byte_compatible(tmp_path):
+    """Header must match the reference writer byte-for-byte
+    (calcSig_wOF.py:125-127)."""
+    path = str(tmp_path / "f.csv")
+    write_features_csv(path, "V", "u/", "rgb", "global_pool", "/m.caffemodel",
+                       [(1, [0.5])])
+    with open(path) as f:
+        header = f.readline().rstrip("\n")
+    assert header == (
+        "video =V, video url =u/, CNN stream =rgb, feature blob =global_pool,"
+        " caffe model =/m.caffemodel"
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ROOT), reason="no reference fixtures")
+def test_read_reference_fixture_tree():
+    """The checked-in reference CSVs (SURVEY.md C17) parse cleanly: 2 videos
+    x 3 splits x 2 streams, 1024-d features."""
+    seen = {}
+    for corpus in sorted(os.listdir(REF_ROOT)):
+        for video, split, csvf in read_feature_tree(os.path.join(REF_ROOT, corpus)):
+            assert csvf.features.shape[1] == 1024
+            assert csvf.stream in ("rgb", "warped_optical_flow")
+            assert csvf.feature_blob == "global_pool"
+            seen.setdefault((video, split), set()).add(csvf.stream)
+    assert len(seen) == 6  # 2 videos x 3 splits
+    assert all(streams == {"rgb", "warped_optical_flow"} for streams in seen.values())
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ROOT), reason="no reference fixtures")
+def test_reference_fixture_reserializes_rows(tmp_path):
+    """Data rows survive a read -> write -> read round trip with identical
+    repr-level values."""
+    corpus = os.path.join(REF_ROOT, "stock-video-clips_features")
+    video, split, csvf = next(iter(read_feature_tree(corpus)))
+    path = str(tmp_path / "out.csv")
+    write_features_csv(
+        path, csvf.video, csvf.video_url, csvf.stream, csvf.feature_blob,
+        csvf.weights_uri, list(zip(csvf.clip_numbers, csvf.features)),
+    )
+    again = read_features_csv(path)
+    np.testing.assert_array_equal(again.clip_numbers, csvf.clip_numbers)
+    np.testing.assert_array_equal(again.features, csvf.features)

@@ -1,0 +1,98 @@
+"""Service-layer units: action routing, repository conversion, DB loader."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from videoquery.core.config import HyperParams
+from videoquery.index.csvio import write_features_csv
+from videoquery.service.client import resolve_action
+from videoquery.service.loader import DBLoader, load_index
+from videoquery.service.repository import APIRepository
+from videoquery.testing.fake_api import FakeAPI, FakeClient
+
+
+def test_action_routing():
+    """Action pairs resolve to the DRF routes of SURVEY.md Appendix A."""
+    assert resolve_action(["query-state", "compute-new", "list"]) == (
+        "GET", "query-state/compute-new/", False)
+    assert resolve_action(["videos", "list"]) == ("GET", "videos/", False)
+    assert resolve_action(["videos", "create"]) == ("POST", "videos/", False)
+    assert resolve_action(["queries", "read"]) == ("GET", "queries/{id}/", True)
+    assert resolve_action(["queries", "partial_update"]) == (
+        "PATCH", "queries/{id}/", True)
+    assert resolve_action(["video-clips", "features"]) == (
+        "GET", "video-clips/{id}/features/", True)
+    assert resolve_action(["search-sets", "features"]) == (
+        "GET", "search-sets/{id}/features/", True)
+    with pytest.raises(ValueError):
+        resolve_action(["videos", "explode"])
+
+
+def test_repository_split_key_conversion():
+    """bootstrapped_target JSON split keys are converted str -> int
+    (api_repository.py:65-78)."""
+    api = FakeAPI()
+    v = api.add_video("v")
+    c = api.add_clip(v["id"], 1)
+    api.add_feature(c["id"], "rgb", 1, [1.0, 0.0])
+    ss = api.add_search_set("s", [c["id"]])
+    q = api.add_query("q", v["id"], 1, c["id"], ss["id"])
+    qr = api.action(["query-results", "create"], {
+        "round": 1, "match_criterion": 0.8, "weights": [1.0, 1.5],
+        "query": q["id"],
+        "bootstrapped_target": json.dumps({"rgb": {"1": [0.5, 0.5]}}),
+    })
+    api.action(["matches", "create"], {
+        "query_result": qr["id"], "score": 0.9, "user_match": None,
+        "video_clip": c["id"]})
+    api.request_revision(q["id"])
+    repo = APIRepository(FakeClient(api))
+    status = repo.get_status()
+    bt = status["revise"]["latest_query_result"]["bootstrapped_target"]
+    assert list(bt["rgb"].keys()) == [1]  # int key, not "1"
+
+
+def make_csv_tree(tmp_path, rng, videos=("vidA", "vidB"), splits=(1, 2),
+                  n_clips=3, dim=8):
+    root = tmp_path / "features"
+    for v in videos:
+        for s in splits:
+            d = root / v / f"UCF101_split{s}"
+            os.makedirs(d)
+            for stream in ("rgb", "warped_optical_flow"):
+                write_features_csv(
+                    str(d / f"{stream}_global_pool_features.csv"),
+                    v, f"../{v}/", stream, "global_pool", f"/m{s}.caffemodel",
+                    [(i + 1, rng.normal(size=dim)) for i in range(n_clips)],
+                )
+    return str(root)
+
+
+def test_db_loader_idempotent(tmp_path, rng):
+    root = make_csv_tree(tmp_path, rng)
+    api = FakeAPI()
+    loader = DBLoader(FakeClient(api))
+    n = loader.load_tree(root)
+    assert n == 2 * 2 * 2 * 3  # videos x splits x streams x clips
+    n_videos = len(api.videos)
+    n_clips = len(api.video_clips)
+    n_features = len(api.features)
+    assert n_videos == 2
+    assert n_clips == 2 * 3
+    assert n_features == 2 * 2 * 2 * 3
+    # rerun: fully idempotent (api_load_records create-or-get semantics)
+    loader.load_tree(root)
+    assert len(api.videos) == n_videos
+    assert len(api.video_clips) == n_clips
+    assert len(api.features) == n_features
+
+
+def test_load_index_fast_path(tmp_path, rng):
+    root = make_csv_tree(tmp_path, rng)
+    idx = load_index(root, HyperParams(), feature_dim=8)
+    assert idx.n_clips == 6
+    assert idx.splits == (1, 2)
+    assert np.asarray(idx.mask).sum() == 2 * 2 * 2 * 3

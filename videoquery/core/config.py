@@ -1,0 +1,188 @@
+"""Unified typed configuration.
+
+The reference scatters configuration across three mechanisms — env vars
+(reference authenticate.py:10-13, broker.py:83-91, hyperparameter.py:5),
+argparse CLIs (calcSig_wOF.py:156-177, build_wof_clips.py:133-150,
+load_db.py:32-39) and module constants (broker.py:36-59). Here every knob
+lives in one dataclass hierarchy; env vars override defaults, CLI flags
+override env vars.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Mapping, Sequence
+
+import numpy as np
+
+# Streams in the canonical order the reference uses (broker.py:42-45).
+RGB = "rgb"
+FLOW = "warped_optical_flow"
+DEFAULT_STREAMS: tuple[str, ...] = (RGB, FLOW)
+
+# Process states of the job state machine (compute_matches.py:43,49,104,107).
+STATE_IN_PROGRESS = 3
+STATE_PROCESSED = 4
+STATE_ERROR = 5
+STATE_FINALIZED = 7
+
+
+def compute_eps(default: float = 1.0e-6) -> float:
+    """Round-off buffer used by the threshold optimizer and finalize near-miss
+    computation (reference hyperparameter.py:5,75 and compute_matches.py:84).
+
+    The reference *requires* the COMPUTE_EPS env var; we default it so the
+    library is importable standalone.
+    """
+    raw = os.environ.get("COMPUTE_EPS")
+    return float(raw) if raw not in (None, "", "None") else default
+
+
+def random_seed() -> int | str | None:
+    """RANDOM_SEED env contract (reference broker.py:83-84, README.md:35-38):
+    the literal string "None" (or unset) means unseeded."""
+    raw = os.environ.get("RANDOM_SEED")
+    if raw in (None, "", "None"):
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        return raw  # CPython's random.seed accepts strings too.
+
+
+@dataclasses.dataclass(frozen=True)
+class HyperParams:
+    """Search hyperparameters (reference broker.py:36-59, hyperparameter.py:9-27).
+
+    Immutable — the optimizer returns a new instance instead of mutating
+    (the reference mutates `Hyperparameter.weights/.threshold` in place at
+    hyperparameter.py:75-76; a frozen dataclass makes round-to-round state
+    explicit and jit-friendly).
+    """
+
+    default_weights: Mapping[str, float] = dataclasses.field(
+        default_factory=lambda: {RGB: 1.0, FLOW: 1.5}
+    )
+    default_threshold: float = 0.8
+    ballast: float = 0.0
+    near_miss_default: float = 0.35
+    mu: float = 0.0
+    streams: tuple[str, ...] = DEFAULT_STREAMS
+    feature_name: str = "global_pool"
+    f_bootstrap: float = 1.0
+    f_memory: float = 0.7
+    bootstrap_type: str = "bagging"  # 'simple' | 'partial_update' | 'bagging'
+    nbags: int = 3
+    # Optimizer grids (reference hyperparameter.py:20-21).
+    weight_grid_start: float = 0.5
+    weight_grid_stop: float = 2.5
+    weight_grid_step: float = 0.05
+    threshold_grid_start: float = 0.5
+    threshold_grid_stop: float = 1.1
+    threshold_grid_step: float = 0.02
+
+    # Mutable round state, carried functionally.
+    weights: Mapping[str, float] | None = None
+    threshold: float | None = None
+
+    def __post_init__(self):
+        if self.bootstrap_type not in ("simple", "partial_update", "bagging"):
+            raise ValueError(
+                "bootstrap_type must be one of 'simple', 'partial_update', "
+                f"'bagging'; got {self.bootstrap_type!r}"
+            )
+        if not 0.0 < self.f_bootstrap <= 1.0:
+            raise ValueError(f"f_bootstrap must be in (0, 1]; got {self.f_bootstrap}")
+        if not 0.0 <= self.f_memory <= 1.0:
+            raise ValueError(f"f_memory must be in [0, 1]; got {self.f_memory}")
+        if not 0.0 <= self.ballast < 1.0:
+            raise ValueError(f"ballast must be in [0, 1); got {self.ballast}")
+        if self.weights is None:
+            object.__setattr__(self, "weights", dict(self.default_weights))
+        if self.threshold is None:
+            object.__setattr__(self, "threshold", self.default_threshold)
+
+    @property
+    def weight_grid(self) -> np.ndarray:
+        return np.arange(self.weight_grid_start, self.weight_grid_stop,
+                         self.weight_grid_step)
+
+    @property
+    def threshold_grid(self) -> np.ndarray:
+        return np.arange(self.threshold_grid_start, self.threshold_grid_stop,
+                         self.threshold_grid_step)
+
+    def weight_vector(self) -> np.ndarray:
+        """Weights as an array in stream order."""
+        return np.asarray([self.weights[s] for s in self.streams], np.float64)
+
+    def with_round_state(self, weights: Mapping[str, float],
+                         threshold: float) -> "HyperParams":
+        return dataclasses.replace(self, weights=dict(weights), threshold=float(threshold))
+
+    def reset_round_state(self) -> "HyperParams":
+        return self.with_round_state(self.default_weights, self.default_threshold)
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Device-side search engine configuration."""
+
+    feature_dim: int = 1024
+    n_splits: int = 3
+    similarity_dtype: str = "float32"  # accumulation is always f32
+    # Pad the clip axis to a multiple of this for MXU/VPU-friendly tiling.
+    clip_pad_multiple: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractionConfig:
+    """Two-stream extraction pipeline configuration (reference
+    calcSig_wOF.py:156-189 and build_wof_clips.py:133-150)."""
+
+    fps: int = 15
+    clip_seconds: int = 10
+    num_ticks: int = 25          # frames scored per clip (calcSig_wOF.py:165)
+    flow_stack_depth: int = 5    # flow stack (calcSig_wOF.py:185-189)
+    frame_resize: tuple[int, int] = (340, 256)  # (W, H), calcSig_wOF.py:94
+    crop_size: int = 224
+    feature_dim: int = 1024
+    feature_blob: str = "global_pool"
+    flow_bound: float = 20.0     # dense_flow -b 20 (build_wof_clips.py:70-73)
+    min_tail_seconds: int = 2    # remainder clip kept iff >= 2 s (build_wof_clips.py:105)
+    batch_clips: int = 8         # clips per device batch in the extractor
+
+    @property
+    def frames_per_clip(self) -> int:
+        return self.fps * self.clip_seconds
+
+
+@dataclasses.dataclass(frozen=True)
+class BrokerConfig:
+    """Broker service configuration (reference broker.py:19-31, entrypoint.sh)."""
+
+    base_url: str = "http://127.0.0.1:8000/"
+    loop_seconds: float = 5.0            # broker.py:19
+    threading: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("BROKER_THREADING") == "True"
+    )
+    log_dir: str = "logs"
+    report_dir: str = "final_reports"
+
+    @staticmethod
+    def from_env(**overrides) -> "BrokerConfig":
+        kwargs = {}
+        if "BASE_URL" in os.environ:
+            kwargs["base_url"] = os.environ["BASE_URL"]
+        kwargs.update(overrides)
+        return BrokerConfig(**kwargs)
+
+
+def default_hyperparams() -> HyperParams:
+    """The broker's production defaults (reference broker.py:36-59)."""
+    return HyperParams()
+
+
+def stream_index(streams: Sequence[str], stream: str) -> int:
+    return list(streams).index(stream)

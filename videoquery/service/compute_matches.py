@@ -1,0 +1,167 @@
+"""Match-computation orchestrator — the serving path of the framework.
+
+Mirrors the reference control flow (compute_matches.py:8-114) with the math
+swapped for the batched device engine: per pending job, build the ticket,
+estimate the target, run one similarity program over the whole search set,
+optimize hyperparameters on revise/finalize, persist the round, select clips
+for review, and report/finalize.
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+from typing import Any, Mapping
+
+from videoquery.core.config import (
+    HyperParams,
+    STATE_FINALIZED,
+    STATE_IN_PROGRESS,
+    STATE_PROCESSED,
+    compute_eps,
+)
+from videoquery.index.store import FeatureIndex
+from videoquery.search.engine import SearchEngine
+from videoquery.search.selection import (
+    INFINITE_MATCHES,
+    finalize_near_miss,
+    lowest_scoring_user_match,
+    select_clips_to_review,
+)
+from videoquery.search.target import TargetEstimator
+from videoquery.service.repository import APIRepository
+from videoquery.service.ticket import Ticket
+
+log = logging.getLogger(__name__)
+
+
+def compute_matches(
+    query_updates: APIRepository,
+    hyperparameters: HyperParams,
+    *,
+    rng: random.Random | None = None,
+    report_dir: str = "final_reports",
+    exact: bool = False,
+) -> None:
+    """Process every pending job this poll (reference compute_matches.py:8).
+
+    exact=True runs the float64 host similarity path (reference-parity
+    numerics); default is the f32 device path.
+    """
+    updates_needed = query_updates.get_status()
+    if updates_needed is None:
+        return
+
+    for update_type, update_object in updates_needed.items():
+        if update_object is None:
+            continue
+        ticket = Ticket(update_object, query_updates.client, report_dir)
+        ticket.change_process_state(STATE_IN_PROGRESS)
+
+        fatal_error_message, error_message = ticket.catch_errors(update_type)
+        if fatal_error_message:
+            ticket.fail(fatal_error_message)
+            continue
+        if error_message:
+            ticket.add_note(error_message)
+
+        process_job(ticket, update_type, update_object, hyperparameters,
+                    rng=rng, exact=exact)
+
+
+def process_job(
+    ticket: Ticket,
+    update_type: str,
+    update_object: Mapping[str, Any],
+    hp: HyperParams,
+    *,
+    rng: random.Random | None = None,
+    exact: bool = False,
+) -> None:
+    # -- target estimation (reference compute_matches.py:55-56) --------------
+    ref_features, ref_splits = ticket.clip_features(ticket.ref_clip_id, hp)
+    estimator = TargetEstimator(hp, rng=rng)
+    bootstrap = bool(ticket.dynamic_target_adjustment)
+    previous_target = None
+    valid_feats: list = []
+    invalid_feats: list = []
+    target_splits = ref_splits
+    if ticket.latest_query_result:
+        previous_target = ticket.latest_query_result.get("bootstrapped_target")
+    if bootstrap and previous_target is not None:
+        valid_feats, match_splits = ticket.match_features(True, hp)
+        invalid_feats, _ = ticket.match_features(False, hp)
+        if valid_feats:
+            target_splits = match_splits
+    ticket.target_features = estimator.estimate(
+        ref_features, valid_feats, invalid_feats, target_splits,
+        previous_target, bootstrap,
+    )
+
+    # -- one similarity program over the search set (ticket.py:120-163) -------
+    records = ticket.candidate_feature_records(hp)
+    # Pad the clip axis to a coarse multiple so XLA compiles one program per
+    # size bucket instead of one per exact search-set size (first compile on
+    # a TPU costs tens of seconds; observed 83 s over a tunneled chip).
+    index = FeatureIndex.build(
+        records, hp.streams, splits=sorted(ref_splits),
+        keep_host=exact, pad_multiple=512,
+    )
+    table = SearchEngine(index, exact=exact).compute_similarities(
+        ticket.target_features
+    )
+
+    # -- hyperparameter round state (compute_matches.py:61-67) ---------------
+    if update_type == "new" or not update_object["matches"]:
+        hp_round = hp.reset_round_state()
+    elif update_type in ("revise", "finalize"):
+        reviewed = {}
+        for match in ticket.prior_matches:
+            label = match["user_match"]
+            if label is None:
+                label = match["is_match"]
+            reviewed[match["video_clip"]] = float(bool(label))
+        hp_round, _grid = table.optimize(reviewed, hp)
+    else:
+        raise Exception("update type is invalid")
+
+    # -- persist round, score, select (compute_matches.py:70-89) -------------
+    new_round = 1 if update_type == "new" else ticket.latest_query_result["round"] + 1
+    new_result_id = ticket.create_query_result(new_round, hp_round)
+
+    ticket.scores = table.scores(hp_round.weights)
+    if update_type == "finalize":
+        max_number_matches = INFINITE_MATCHES
+        low_score, _ = lowest_scoring_user_match(ticket.scores, ticket.user_matches)
+        near_miss = finalize_near_miss(hp_round.threshold, low_score, compute_eps())
+    else:
+        max_number_matches = ticket.number_of_matches_to_review
+        near_miss = hp_round.near_miss_default
+    ticket.matches = select_clips_to_review(
+        ticket.scores, ticket.user_matches, ticket.ref_clip_id,
+        hp_round.threshold, max_number_matches, near_miss, rng=rng,
+    )
+
+    if not ticket.matches:
+        catch_no_matches_error(ticket)
+        return
+
+    ticket.add_matches_to_database(new_result_id)
+
+    if update_type == "finalize":
+        ticket.create_final_report(hp_round, new_result_id)
+        ticket.change_process_state(STATE_FINALIZED)
+    else:
+        ticket.change_process_state(STATE_PROCESSED)
+
+
+def catch_no_matches_error(ticket: Ticket) -> None:
+    """Zero matches is a job-level error (compute_matches.py:110-114)."""
+    mround = (
+        ticket.latest_query_result["round"] if ticket.latest_query_result else 1
+    )
+    ticket.fail(
+        "*** Error: No matches were found for round {} of query {}! ***".format(
+            mround, ticket.query_id
+        )
+    )
