@@ -1,0 +1,106 @@
+"""End-to-end extraction pipeline on synthetic video (small nets for speed)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from videoquery.core.config import ExtractionConfig
+from videoquery.kernels.tvl1 import TVL1Params
+from videoquery.nn.tsn import TwoStreamTSN
+from videoquery.pipeline import decode
+from videoquery.pipeline.extract import Extractor
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    # tiny geometry to keep CPU tests quick; same code path as production
+    # min_tail 1 s so a 6-frame tail clip exists (at fps=5, the reference's
+    # 2 s minimum equals a full 2 s clip and no tail could ever form)
+    return ExtractionConfig(fps=5, clip_seconds=2, num_ticks=5,
+                            frame_resize=(340, 256), batch_clips=2,
+                            min_tail_seconds=1)
+
+
+@pytest.fixture(scope="module")
+def tsn():
+    return TwoStreamTSN.random(jax.random.PRNGKey(0), splits=(1, 2))
+
+
+@pytest.fixture(scope="module")
+def synthetic_frames():
+    rng = np.random.default_rng(0)
+    import cv2
+
+    base = rng.integers(0, 255, (160, 240, 3), np.uint8)
+    base = cv2.GaussianBlur(base, (15, 15), 4)
+    frames = []
+    for i in range(26):  # 2 full 10-frame clips + 6-frame (>=2s) tail
+        M = np.float32([[1, 0, -2 * i], [0, 1, -1 * i]])
+        frames.append(cv2.warpAffine(base, M, (240, 160)))
+    return np.stack(frames)
+
+
+@pytest.fixture(scope="module")
+def signatures(tsn, small_cfg, synthetic_frames):
+    ex = Extractor(tsn, small_cfg, warped=True,
+                   tvl1=TVL1Params(n_scales=3, n_warps=2, n_iters=8))
+    return ex, list(ex.extract_frames(synthetic_frames))
+
+
+def test_extract_shapes_and_clip_count(signatures, small_cfg):
+    ex, sigs = signatures
+    clip_nums = [n for s in sigs for n in s.clip_numbers]
+    assert sorted(clip_nums) == [1, 2, 3]  # 2 full + 1 tail clip
+    for s in sigs:
+        assert s.rgb.shape[0] == 2 and s.rgb.shape[2] == 1024
+        assert s.flow.shape == s.rgb.shape
+        assert np.isfinite(s.rgb).all() and np.isfinite(s.flow).all()
+        assert (s.rgb >= 0).all()  # global_pool is post-ReLU
+
+
+def test_extract_csv_tree_roundtrip(signatures, tmp_path, small_cfg):
+    from videoquery.index.csvio import read_feature_tree
+    from videoquery.service.loader import load_index
+
+    ex, sigs = signatures
+    paths = ex.write_csv_tree(sigs, str(tmp_path), "synth", "file://synth")
+    assert len(paths) == 4  # 2 splits x 2 streams
+    seen = list(read_feature_tree(str(tmp_path)))
+    assert len(seen) == 4
+    for video, split, csvf in seen:
+        assert csvf.features.shape == (3, 1024)
+        assert list(csvf.clip_numbers) == [1, 2, 3]
+    idx = load_index(str(tmp_path), feature_dim=1024)
+    assert idx.n_clips == 3
+
+
+def test_extracted_features_rank_self_highest(signatures, small_cfg):
+    """Query the extracted corpus with clip 1's own scaled features: clip 1
+    must rank first with score 1.0 — the minimum end-to-end slice of
+    BASELINE.json config 1."""
+    from videoquery.index.store import FeatureIndex
+    from videoquery.search.engine import SearchEngine
+    from videoquery.search.target import scale_feature
+
+    ex, sigs = signatures
+    records = ex.records(sigs)
+    index = FeatureIndex.build(records, ("rgb", "warped_optical_flow"),
+                               keep_host=True)
+    ref = {}
+    for r in records:
+        if r.clip_id == 1:
+            ref.setdefault(r.stream, {})[r.split] = scale_feature(r.vector)
+    table = SearchEngine(index, exact=True).compute_similarities(ref)
+    scores = table.scores({"rgb": 1.0, "warped_optical_flow": 1.5})
+    assert max(scores, key=lambda c: scores[c]) == 1
+    np.testing.assert_allclose(scores[1], 1.0, atol=1e-9)
+
+
+def test_synthesize_and_decode_video(tmp_path):
+    path = str(tmp_path / "v.mp4")
+    decode.synthesize_video(path, n_frames=30, size=(160, 120))
+    frames = decode.load_video(path)
+    assert frames.shape == (30, 120, 160, 3)
+    assert frames.dtype == np.uint8

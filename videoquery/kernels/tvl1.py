@@ -1,0 +1,203 @@
+"""Pyramidal TV-L1 optical flow (Zach et al. 2007) as a batched JAX program.
+
+TPU-native replacement for dense_flow's `extract_warp_gpu` CUDA binary
+(shelled at reference build_wof_clips.py:70-73 with bound 20, warped TV-L1).
+The primal-dual iterations are pure stencil math — elementwise ops + 4-point
+neighbor differences — which XLA fuses into a handful of kernels per
+iteration; frames are batched on the leading axis so the whole clip's flow
+computes as one program. (A hand-tiled Pallas variant of the inner loop is
+the planned next optimization; this module defines the semantics and the
+performance baseline.)
+
+The warped variant estimates global camera motion (videoquery.kernels.motion)
+from a coarse flow pass, warps the second frame to cancel it, and reruns
+TV-L1 — the same two-pass structure dense_flow uses with its
+homography-of-SURF-matches estimate.
+
+Default parameters follow OpenCV's DualTVL1 (tau 0.25, lambda 0.15,
+theta 0.3, 5 scales, 5 warps, 30 inner iterations), which is what dense_flow
+wraps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from videoquery.kernels.motion import affine_to_warp, estimate_affine
+from videoquery.kernels.warp import bilinear_sample, warp_affine
+
+
+@dataclasses.dataclass(frozen=True)
+class TVL1Params:
+    tau: float = 0.25           # dual time step
+    lambda_: float = 0.15       # data attachment weight
+    theta: float = 0.3          # tightness
+    n_scales: int = 5
+    n_warps: int = 5
+    n_iters: int = 30           # primal-dual iterations per warp
+    scale_step: float = 0.5
+    grad_eps: float = 1e-6
+
+
+def _forward_diff(f: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Forward differences with Neumann boundary (zero at far edge)."""
+    fx = jnp.concatenate([f[:, 1:] - f[:, :-1], jnp.zeros_like(f[:, :1])], axis=1)
+    fy = jnp.concatenate([f[1:, :] - f[:-1, :], jnp.zeros_like(f[:1, :])], axis=0)
+    return fx, fy
+
+
+def _divergence(p1: jax.Array, p2: jax.Array) -> jax.Array:
+    """Adjoint of -forward_diff: backward differences with the standard
+    boundary handling (first element kept, last negated)."""
+    d1 = jnp.concatenate([p1[:, :1], p1[:, 1:-1] - p1[:, :-2], -p1[:, -2:-1]], axis=1)
+    d2 = jnp.concatenate([p2[:1, :], p2[1:-1, :] - p2[:-2, :], -p2[-2:-1, :]], axis=0)
+    return d1 + d2
+
+
+def _centered_grad(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    gx = (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1)) * 0.5
+    gx = gx.at[:, 0].set(img[:, 1] - img[:, 0]).at[:, -1].set(img[:, -1] - img[:, -2])
+    gy = (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0)) * 0.5
+    gy = gy.at[0, :].set(img[1] - img[0]).at[-1, :].set(img[-1] - img[-2])
+    return gx, gy
+
+
+def _grid(h: int, w: int):
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    return ys, xs
+
+
+def _tvl1_level(I0, I1, u, v, p: TVL1Params):
+    """One pyramid level: n_warps x n_iters primal-dual updates. All inputs
+    [H, W]; returns updated (u, v)."""
+    h, w = I0.shape
+    ys, xs = _grid(h, w)
+    I1x, I1y = _centered_grad(I1)
+    l_t = p.lambda_ * p.theta
+    taut = p.tau / p.theta
+
+    def warp_pass(carry, _):
+        u0, v0, p11, p12, p21, p22 = carry
+        # warp I1 and its gradient by the current flow estimate
+        wy, wx = ys + v0, xs + u0
+        I1w = bilinear_sample(I1, wy, wx)
+        I1wx = bilinear_sample(I1x, wy, wx)
+        I1wy = bilinear_sample(I1y, wy, wx)
+        grad = I1wx * I1wx + I1wy * I1wy
+        rho_c = I1w - I1wx * u0 - I1wy * v0 - I0
+
+        def inner(carry2, _):
+            u_, v_, q11, q12, q21, q22 = carry2
+            rho = rho_c + I1wx * u_ + I1wy * v_
+            th = l_t * grad
+            # soft thresholding of the data term
+            d_lt = jnp.where(rho < -th, l_t, 0.0)
+            d_gt = jnp.where(rho > th, -l_t, 0.0)
+            mid = jnp.where((rho >= -th) & (rho <= th),
+                            -rho / jnp.maximum(grad, p.grad_eps), 0.0)
+            step = d_lt + d_gt + mid
+            u1 = u_ + step * I1wx
+            v1 = v_ + step * I1wy
+            # primal update with divergence of the dual field
+            un = u1 + p.theta * _divergence(q11, q12)
+            vn = v1 + p.theta * _divergence(q21, q22)
+            # dual ascent
+            ux, uy = _forward_diff(un)
+            vx, vy = _forward_diff(vn)
+            gu = jnp.sqrt(ux * ux + uy * uy)
+            gv = jnp.sqrt(vx * vx + vy * vy)
+            q11 = (q11 + taut * ux) / (1.0 + taut * gu)
+            q12 = (q12 + taut * uy) / (1.0 + taut * gu)
+            q21 = (q21 + taut * vx) / (1.0 + taut * gv)
+            q22 = (q22 + taut * vy) / (1.0 + taut * gv)
+            return (un, vn, q11, q12, q21, q22), None
+
+        (u1, v1, p11, p12, p21, p22), _ = jax.lax.scan(
+            inner, (u0, v0, p11, p12, p21, p22), None, length=p.n_iters
+        )
+        return (u1, v1, p11, p12, p21, p22), None
+
+    zeros = jnp.zeros_like(u)
+    (u, v, *_), _ = jax.lax.scan(
+        warp_pass, (u, v, zeros, zeros, zeros, zeros), None, length=p.n_warps
+    )
+    return u, v
+
+
+def _pyramid_shapes(h: int, w: int, p: TVL1Params) -> list[tuple[int, int]]:
+    shapes = [(h, w)]
+    for _ in range(p.n_scales - 1):
+        h = max(int(round(h * p.scale_step)), 16)
+        w = max(int(round(w * p.scale_step)), 16)
+        if (h, w) == shapes[-1]:
+            break
+        shapes.append((h, w))
+    return shapes
+
+
+def _resize2(img: jax.Array, hw: tuple[int, int]) -> jax.Array:
+    return jax.image.resize(img, hw, method="linear")
+
+
+def _tvl1_single(I0: jax.Array, I1: jax.Array, p: TVL1Params):
+    """Full pyramidal flow for one [H, W] pair; images scaled to [0, 1]."""
+    shapes = _pyramid_shapes(*I0.shape, p)
+    pyr0 = [I0] + [None] * (len(shapes) - 1)
+    pyr1 = [I1] + [None] * (len(shapes) - 1)
+    for i in range(1, len(shapes)):
+        pyr0[i] = _resize2(pyr0[i - 1], shapes[i])
+        pyr1[i] = _resize2(pyr1[i - 1], shapes[i])
+    u = jnp.zeros(shapes[-1], jnp.float32)
+    v = jnp.zeros(shapes[-1], jnp.float32)
+    for i in reversed(range(len(shapes))):
+        u, v = _tvl1_level(pyr0[i], pyr1[i], u, v, p)
+        if i > 0:
+            inv = 1.0 / p.scale_step
+            u = _resize2(u, shapes[i - 1]) * inv
+            v = _resize2(v, shapes[i - 1]) * inv
+    return u, v
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def tvl1_flow(
+    I0: jax.Array,  # [B, H, W] grayscale in [0, 1]
+    I1: jax.Array,
+    params: TVL1Params = TVL1Params(),
+) -> tuple[jax.Array, jax.Array]:
+    """Batched TV-L1 flow: returns (u, v) each [B, H, W] in pixels."""
+    return jax.vmap(lambda a, b: _tvl1_single(a, b, params))(I0, I1)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "coarse_hw"))
+def tvl1_warped_flow(
+    I0: jax.Array,  # [B, H, W] grayscale in [0, 1]
+    I1: jax.Array,
+    params: TVL1Params = TVL1Params(),
+    coarse_hw: tuple[int, int] = (64, 96),
+) -> tuple[jax.Array, jax.Array]:
+    """Warped TV-L1: cancel global camera motion, then compute flow — the
+    two-pass structure of dense_flow's extract_warp_gpu.
+
+    Pass 1 runs a cheap coarse flow to estimate a robust global affine;
+    pass 2 warps I1 by it and computes full-resolution TV-L1. The returned
+    flow is the residual (foreground) motion, as in the reference."""
+    # The camera-motion pass needs enough pyramid depth to lock onto large
+    # pans at the coarse resolution; the grid is tiny so this is cheap.
+    coarse = TVL1Params(n_scales=4, n_warps=5, n_iters=30)
+
+    def one(i0, i1):
+        c0 = _resize2(i0, coarse_hw)
+        c1 = _resize2(i1, coarse_hw)
+        cu, cv = _tvl1_single(c0, c1, coarse)
+        sx = i0.shape[1] / coarse_hw[1]
+        sy = i0.shape[0] / coarse_hw[0]
+        A = estimate_affine(cu * sx, cv * sy)
+        i1w = warp_affine(i1, affine_to_warp(A, *i0.shape))
+        return _tvl1_single(i0, i1w, params)
+
+    return jax.vmap(one)(I0, I1)

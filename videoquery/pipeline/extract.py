@@ -1,0 +1,311 @@
+"""Fused two-stream feature extraction: video -> per-clip 1024-d signatures.
+
+This is the TPU-native replacement for the reference's two-stage pipeline
+(build_wof_clips.py JPEG dump + dense_flow shellouts, then calcSig_wOF.py
+Caffe forwards over multiprocessing pools; SURVEY.md §3.2-3.3). Here a video
+becomes device arrays once; warped TV-L1 flow, tick sampling, preprocessing
+and the 6-member TSN ensemble run as XLA programs; output is either
+FeatureRecords for the index or reference-format CSVs.
+
+Pipeline per clip batch (static shapes; one compile per batch geometry):
+  frames u8 [B, F, H, W, 3] ──► gray [B, F, H, W] ─► warped TV-L1 ─► quantize
+        │                                                   │
+        └─► rgb ticks [B, T, h, w, 3] ─► preprocess ─► rgb net (K splits)
+                                    flow stacks [B, T, h, w, 10] ─► flow net
+  ─► {stream: [K, B, 1024]} per-clip signatures (ticks averaged)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videoquery.core.config import ExtractionConfig, FLOW, RGB
+from videoquery.index.csvio import write_features_csv
+from videoquery.index.store import FeatureRecord
+from videoquery.kernels.tvl1 import TVL1Params, tvl1_flow, tvl1_warped_flow
+from videoquery.nn.tsn import TwoStreamTSN
+from videoquery.pipeline import decode
+from videoquery.pipeline.preprocess import (
+    preprocess_flow,
+    preprocess_rgb,
+    quantize_flow,
+    dequantize_flow,
+)
+from videoquery.pipeline.sampling import clip_ranges, frame_ticks
+
+log = logging.getLogger(__name__)
+
+
+def _clip_flow(gray: jax.Array, bound: float, warped: bool,
+               tvl1: TVL1Params) -> jax.Array:
+    """Per-frame optical flow for whole clips, quantized like dense_flow.
+
+    gray: f32 [B, F, H, W] in [0, 1]. Returns u8 [B, F, H, W, 2] (x, y).
+    Frame i holds flow i -> i+1; the last frame duplicates the previous flow
+    (the reference's clip layout has one flow image per frame index,
+    build_wof_clips.py:84-100)."""
+    b, f, h, w = gray.shape
+    i0 = gray[:, :-1].reshape(b * (f - 1), h, w)
+    i1 = gray[:, 1:].reshape(b * (f - 1), h, w)
+    flow_fn = tvl1_warped_flow if warped else tvl1_flow
+    u, v = flow_fn(i0, i1, tvl1)
+    uv = jnp.stack([u, v], axis=-1).reshape(b, f - 1, h, w, 2)
+    uv = jnp.concatenate([uv, uv[:, -1:]], axis=1)
+    return quantize_flow(uv, bound)
+
+
+clip_flow = jax.jit(_clip_flow, static_argnames=("bound", "warped", "tvl1"))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bound", "warped", "tvl1", "cfg_resize", "cfg_crop",
+                     "dtype_str"),
+)
+def _extract_step(
+    rgb_params,
+    flow_params,
+    frames_u8: jax.Array,     # u8 [B, F, H, W, 3] BGR
+    rgb_tick_idx: jax.Array,  # i32 [T] 0-based frame indices
+    stack_idx: jax.Array,     # i32 [T, D] 0-based flow-frame indices
+    bound: float,
+    warped: bool,
+    tvl1: TVL1Params,
+    cfg_resize: tuple[int, int],
+    cfg_crop: int,
+    dtype_str: str,
+):
+    """The whole per-batch extraction as ONE device program:
+    grayscale -> warped TV-L1 -> tick gather -> preprocess -> 6-way TSN.
+
+    Everything stays in HBM; the only outputs are the [K, B, 1024]
+    embeddings per stream. (Measured on the tunneled v5e: device->host
+    readback runs at ~0.7 MB/s, so round-tripping the flow field through the
+    host — ~10 MB per clip batch — dominated wall clock by 100x.)"""
+    from videoquery.nn import bn_inception
+
+    f32 = frames_u8.astype(jnp.float32)
+    # ITU-R 601 luma, matching cv2 BGR2GRAY
+    gray = (0.114 * f32[..., 0] + 0.587 * f32[..., 1] + 0.299 * f32[..., 2]) / 255.0
+    flow_q = _clip_flow(gray, bound, warped, tvl1)        # u8 [B,F,H,W,2]
+
+    rgb_ticks = jnp.take(frames_u8, rgb_tick_idx, axis=1)  # [B,T,H,W,3]
+    stacks = jnp.take(flow_q, stack_idx.reshape(-1), axis=1)
+    b = frames_u8.shape[0]
+    t, d = stack_idx.shape
+    h, w = frames_u8.shape[2:4]
+    stacks = stacks.reshape(b, t, d, h, w, 2)
+    # interleave x/y per depth -> channels [x1, y1, ..., xD, yD]
+    stacks = stacks.transpose(0, 1, 3, 4, 2, 5).reshape(b, t, h, w, d * 2)
+
+    dtype = jnp.dtype(dtype_str)
+    rgb_in = preprocess_rgb(rgb_ticks, cfg_resize, cfg_crop, dtype=dtype)
+    flow_in = preprocess_flow(stacks, cfg_resize, cfg_crop, dtype=dtype)
+    rgb_flat = rgb_in.reshape((b * t,) + rgb_in.shape[2:])
+    flow_flat = flow_in.reshape((b * t,) + flow_in.shape[2:])
+    rgb_emb = jax.vmap(lambda p: bn_inception.embed(p, rgb_flat))(rgb_params)
+    flow_emb = jax.vmap(lambda p: bn_inception.embed(p, flow_flat))(flow_params)
+    k = rgb_emb.shape[0]
+    return (
+        rgb_emb.reshape(k, b, t, -1).mean(axis=2),
+        flow_emb.reshape(k, b, t, -1).mean(axis=2),
+    )
+
+
+@dataclasses.dataclass
+class ClipSignatures:
+    clip_numbers: list[int]
+    rgb: np.ndarray    # [K, B, 1024]
+    flow: np.ndarray   # [K, B, 1024]
+    splits: tuple[int, ...]
+
+
+class Extractor:
+    def __init__(self, tsn: TwoStreamTSN, cfg: ExtractionConfig | None = None,
+                 warped: bool = True, dtype: str = "float32",
+                 tvl1: TVL1Params | None = None):
+        self.tsn = tsn
+        self.cfg = cfg or ExtractionConfig()
+        self.warped = warped
+        self.dtype = dtype
+        self.tvl1 = tvl1 or TVL1Params()
+
+    def extract_frames(self, frames: np.ndarray, clip_numbers=None
+                       ) -> Iterator[ClipSignatures]:
+        """frames: BGR uint8 [N, H, W, 3] for a whole video. Yields batches
+        of per-clip signatures."""
+        cfg = self.cfg
+        ranges = clip_ranges(len(frames), cfg.fps, cfg.clip_seconds,
+                             cfg.min_tail_seconds)
+        if clip_numbers is None:
+            clip_numbers = list(range(1, len(ranges) + 1))
+        gray = None  # grayscale computed on device
+        bsz = cfg.batch_clips
+        full = [r for r in ranges if r[1] - r[0] + 1 == cfg.frames_per_clip]
+        tail = [r for r in ranges if r[1] - r[0] + 1 != cfg.frames_per_clip]
+        groups = [full[i:i + bsz] for i in range(0, len(full), bsz)]
+        groups += [[r] for r in tail]  # odd-length tails run solo
+        for group in groups:
+            nums = [clip_numbers[ranges.index(r)] for r in group]
+            yield self._signature_batch(frames, gray, group, nums)
+
+    def _signature_batch(self, frames, gray, group, nums) -> ClipSignatures:
+        del gray  # grayscale now computed on device inside _extract_step
+        cfg = self.cfg
+        f_len = group[0][1] - group[0][0] + 1
+        clip_rgb = np.stack([frames[s - 1:e] for s, e in group])     # [B,F,H,W,3]
+        ticks_rgb = frame_ticks(f_len, cfg.num_ticks, 1)             # 1-based
+        ticks_flow = frame_ticks(f_len, cfg.num_ticks, cfg.flow_stack_depth)
+        stack_idx = np.minimum(
+            ticks_flow[:, None] + np.arange(cfg.flow_stack_depth)[None, :],
+            f_len,
+        ) - 1                                                        # [T,D] 0-based
+        rgb_emb, flow_emb = _extract_step(
+            self.tsn.rgb.stacked_params,
+            self.tsn.flow.stacked_params,
+            jnp.asarray(clip_rgb),
+            jnp.asarray(ticks_rgb - 1, jnp.int32),
+            jnp.asarray(stack_idx, jnp.int32),
+            cfg.flow_bound,
+            self.warped,
+            self.tvl1,
+            cfg.frame_resize,
+            cfg.crop_size,
+            self.dtype,
+        )
+        return ClipSignatures(
+            nums, np.asarray(rgb_emb, np.float32), np.asarray(flow_emb, np.float32),
+            self.tsn.rgb.splits,
+        )
+
+    def extract_video(self, path: str) -> list[ClipSignatures]:
+        frames = decode.load_video(path)
+        return list(self.extract_frames(frames))
+
+    # -- reference-format CSV output (calcSig_wOF.py:116-134 layout) ---------
+
+    def write_csv_tree(self, signatures: list[ClipSignatures], out_dir: str,
+                       video: str, video_url: str,
+                       modelname_fmt: str = "UCF101_split{split}",
+                       weights_uri_fmt: str = "ucf101_split{split}_tsn_{stream}_bn_inception.npz",
+                       ) -> list[str]:
+        """One CSV per (split, stream) under <out>/<video>/<modelname>/."""
+        paths = []
+        for ki, split in enumerate(signatures[0].splits):
+            d = os.path.join(out_dir, video, modelname_fmt.format(split=split))
+            os.makedirs(d, exist_ok=True)
+            for stream, attr in ((RGB, "rgb"), (FLOW, "flow")):
+                rows = []
+                for sig in signatures:
+                    emb = getattr(sig, attr)[ki]
+                    rows.extend(zip(sig.clip_numbers, emb))
+                rows.sort(key=lambda r: r[0])
+                path = os.path.join(d, f"{stream}_{self.cfg.feature_blob}_features.csv")
+                write_features_csv(
+                    path, video, video_url, stream, self.cfg.feature_blob,
+                    weights_uri_fmt.format(split=split, stream=attr), rows,
+                )
+                paths.append(path)
+        return paths
+
+    def records(self, signatures: list[ClipSignatures],
+                clip_id_of: dict[int, int] | None = None) -> list[FeatureRecord]:
+        out = []
+        for sig in signatures:
+            for ki, split in enumerate(sig.splits):
+                for bi, clip_no in enumerate(sig.clip_numbers):
+                    cid = clip_id_of[clip_no] if clip_id_of else clip_no
+                    out.append(FeatureRecord(cid, RGB, split,
+                                             self.cfg.feature_blob, sig.rgb[ki, bi]))
+                    out.append(FeatureRecord(cid, FLOW, split,
+                                             self.cfg.feature_blob, sig.flow[ki, bi]))
+        return out
+
+
+def main(argv=None) -> None:
+    """CLI: extract features for every video in a directory (the
+    build_wof_clips + calcSig_wOF + ensemble driver rolled into one)."""
+    import argparse
+    import glob
+
+    from videoquery.nn.tsn import StreamEnsemble, TwoStreamTSN
+    from videoquery.nn import bn_inception
+
+    p = argparse.ArgumentParser(description="Two-stream TSN feature extraction")
+    p.add_argument("src", help="video file, directory of videos, or 'synthetic'")
+    p.add_argument("--out", required=True, help="output feature-CSV tree root")
+    p.add_argument("--weights", default=None,
+                   help="npz weight bundle dir (from convert_caffe); random if omitted")
+    p.add_argument("--splits", type=int, nargs="+", default=[1, 2, 3])
+    p.add_argument("--num_ticks", type=int, default=25)
+    p.add_argument("--fps", type=int, default=15)
+    p.add_argument("--clip_time", type=int, default=10)
+    p.add_argument("--batch_clips", type=int, default=4)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--no-warp", action="store_true", help="plain (unwarped) TV-L1")
+    p.add_argument("--ext", default="mp4")
+    args = p.parse_args(argv)
+
+    cfg = ExtractionConfig(fps=args.fps, clip_seconds=args.clip_time,
+                           num_ticks=args.num_ticks, batch_clips=args.batch_clips)
+
+    # resolve inputs BEFORE building the model: TSN construction costs tens
+    # of seconds on a tunneled TPU and a bad path should fail immediately
+    if args.src == "synthetic":
+        os.makedirs(args.out, exist_ok=True)
+        path = os.path.join(args.out, "_synthetic.mp4")
+        decode.synthesize_video(path, n_frames=320)
+        videos = [path]
+    elif os.path.isdir(args.src):
+        videos = sorted(glob.glob(os.path.join(args.src, f"*.{args.ext}")))
+        if not videos:
+            raise SystemExit(f"no *.{args.ext} videos in {args.src!r}")
+    elif os.path.isfile(args.src):
+        videos = [args.src]
+    else:
+        raise SystemExit(f"input not found: {args.src!r}")
+
+    if args.weights:
+        from videoquery.nn.convert_caffe import load_npz
+
+        rgb = {s: load_npz(os.path.join(args.weights, f"rgb_split{s}.npz"))
+               for s in args.splits}
+        flow = {s: load_npz(os.path.join(args.weights, f"flow_split{s}.npz"))
+                for s in args.splits}
+        tsn = TwoStreamTSN(
+            StreamEnsemble.from_split_params(
+                {k: jax.tree.map(jnp.asarray, v) for k, v in rgb.items()},
+                bn_inception.RGB_CHANNELS),
+            StreamEnsemble.from_split_params(
+                {k: jax.tree.map(jnp.asarray, v) for k, v in flow.items()},
+                bn_inception.FLOW_CHANNELS),
+        )
+    else:
+        log.warning("no --weights: using random-initialized TSN (pipeline demo)")
+        tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), tuple(args.splits))
+
+    ex = Extractor(tsn, cfg, warped=not args.no_warp, dtype=args.dtype)
+    for vid in videos:
+        name = os.path.splitext(os.path.basename(vid))[0]
+        t0 = time.time()
+        sigs = ex.extract_video(vid)
+        n_clips = sum(len(s.clip_numbers) for s in sigs)
+        dt = time.time() - t0
+        ex.write_csv_tree(sigs, args.out, name, vid)
+        log.info("%s: %d clips in %.1fs (%.2f clips/s)", name, n_clips, dt,
+                 n_clips / dt)
+        print(f"{name}: {n_clips} clips in {dt:.1f}s ({n_clips/dt:.2f} clips/s)")
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

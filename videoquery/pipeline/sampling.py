@@ -1,0 +1,50 @@
+"""Frame-tick sampling and clip segmentation.
+
+Reproduces the reference's sampling arithmetic exactly:
+
+- ticks: 25 evenly spaced frames per clip regardless of clip length
+  (calcSig_wOF.py:67-72). The reference runs under Python 2, where
+  `(frame_cnt - stack_depth) / (num-1)` is *floor* division — mirrored here.
+- clips: fps*clip_time frames per clip; trailing remainder kept iff at least
+  2 seconds (build_wof_clips.py:78-128).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def frame_ticks(frame_cnt: int, num_ticks: int = 25, stack_depth: int = 1
+                ) -> np.ndarray:
+    """1-based frame indices to sample (calcSig_wOF.py:67-72).
+
+    step = floor((frame_cnt - stack_depth) / (num_ticks - 1)); short clips
+    (step <= 0) sample frame 1 num_ticks times."""
+    step = (frame_cnt - stack_depth) // (num_ticks - 1)
+    if step > 0:
+        ticks = np.arange(1, min(2 + step * (num_ticks - 1), frame_cnt + 1), step)
+    else:
+        ticks = np.ones(num_ticks, np.int64)
+    assert len(ticks) == num_ticks, (frame_cnt, num_ticks, stack_depth)
+    return ticks.astype(np.int64)
+
+
+def flow_stack_indices(tick: int, frame_cnt: int, stack_depth: int = 5
+                       ) -> np.ndarray:
+    """Frame indices of one flow stack: tick..tick+depth-1 clamped to the
+    clip end (calcSig_wOF.py:104)."""
+    return np.minimum(np.arange(tick, tick + stack_depth), frame_cnt)
+
+
+def clip_ranges(n_frames: int, fps: int = 15, clip_seconds: int = 10,
+                min_tail_seconds: int = 2) -> list[tuple[int, int]]:
+    """[(start_frame, end_frame)] 1-based inclusive ranges per clip
+    (build_wof_clips.py:78-128): full clips of fps*clip_seconds frames, plus
+    a trailing clip iff the remainder is at least min_tail_seconds long."""
+    per_clip = fps * clip_seconds
+    n_clips = n_frames // per_clip
+    ranges = [(i * per_clip + 1, (i + 1) * per_clip) for i in range(n_clips)]
+    remainder = n_frames - n_clips * per_clip
+    if remainder >= min_tail_seconds * fps:
+        ranges.append((n_clips * per_clip + 1, n_frames))
+    return ranges
