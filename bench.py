@@ -1,0 +1,170 @@
+"""Benchmark harness — runs on the real TPU chip.
+
+Measures the two headline numbers from BASELINE.json's north star:
+  1. two-stream feature extraction throughput (clips/sec/chip): the fused
+     decode->warped-TV-L1->tick-sample->preprocess->6-member TSN program.
+  2. batched query latency (p50) over a large segment index.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline is against the 1000 clips/s/chip north-star target
+(/root/repo/BASELINE.json; the reference publishes no numbers of its own —
+BASELINE.md). Extra stage timings go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_extraction(n_batches: int = 4, batch_clips: int = 4,
+                     frames_per_clip: int = 150, hw=(256, 340),
+                     num_ticks: int = 25, splits=(1, 2, 3),
+                     flow_scales: int = 3, flow_warps: int = 2,
+                     flow_iters: int = 10, flow_res_div: int = 2,
+                     dtype: str = "bfloat16") -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from videoquery.kernels.tvl1 import TVL1Params
+    from videoquery.nn.tsn import TwoStreamTSN
+    from videoquery.pipeline.extract import _extract_step
+    from videoquery.pipeline.sampling import frame_ticks
+
+    h, w = hw
+    log(f"[extract] building TSN ensemble (splits={splits}, dtype={dtype})")
+    tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=splits, dtype=jnp.dtype(dtype))
+    tvl1 = TVL1Params(n_scales=flow_scales, n_warps=flow_warps,
+                      n_iters=flow_iters)
+
+    rng = np.random.default_rng(0)
+    frames_np = rng.integers(0, 255,
+                             (batch_clips, frames_per_clip, h // flow_res_div * flow_res_div,
+                              w // flow_res_div * flow_res_div, 3), np.uint8)
+    frames = jax.device_put(jnp.asarray(frames_np))
+    ticks = frame_ticks(frames_per_clip, num_ticks, 1) - 1
+    tflow = frame_ticks(frames_per_clip, num_ticks, 5)
+    sidx = np.minimum(tflow[:, None] + np.arange(5)[None, :], frames_per_clip) - 1
+    ticks_j = jnp.asarray(ticks, jnp.int32)
+    sidx_j = jnp.asarray(sidx, jnp.int32)
+
+    def step():
+        r, f = _extract_step(
+            tsn.rgb.stacked_params, tsn.flow.stacked_params, frames,
+            ticks_j, sidx_j, 20.0, True, tvl1, (340, 256), 224, dtype,
+        )
+        # block_until_ready does NOT block on the tunneled axon backend;
+        # force a scalar readback to synchronize
+        return float(r.sum())
+
+    log("[extract] compiling fused extraction step...")
+    t0 = time.time()
+    step()
+    log(f"[extract] compile+first run: {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    for _ in range(n_batches):
+        step()
+    dt = time.time() - t0
+    clips = n_batches * batch_clips
+    rate = clips / dt
+    log(f"[extract] {clips} clips in {dt:.2f}s -> {rate:.2f} clips/s/chip "
+        f"({rate * frames_per_clip:.0f} fps equivalent)")
+    return rate
+
+
+def bench_query(n_segments: int = 1_000_000, dim: int = 1024, q: int = 16,
+                k: int = 20, splits: int = 3, streams: int = 2,
+                dtype: str = "bfloat16", repeats: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from videoquery.search.distributed import _local_query
+
+    log(f"[query] building {n_segments}-segment index "
+        f"({streams}x{splits}x{n_segments}x{dim} {dtype})")
+    # generate the index ON DEVICE (uploading 12 GB over the tunnel is not
+    # the thing being measured; threefry-generating 6.4B normals isn't
+    # either — a deterministic varied fill is enough for timing)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+
+    @jax.jit
+    def make_index():
+        dt = jnp.dtype(dtype)
+        base = jax.random.normal(keys[0], (7, dim), jnp.float32).astype(dt)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (streams, splits, n_segments), 2)
+        scale = (1.0 + (rows % 1013).astype(dt)[..., None] * dt.type(1e-3))
+        feats = base[rows % 7] * scale  # stays in `dt`: no f32 temp at 2x size
+        mask = jnp.ones((streams, splits, n_segments), bool)
+        return feats, mask
+
+    feats, mask = make_index()
+    _ = float(mask.sum())  # sync
+
+    targets = jax.random.normal(keys[1], (q, streams, splits, dim), jnp.float32)
+    tmask = jnp.ones((q, streams, splits), bool)
+    weights = jnp.ones((q, streams), jnp.float32).at[:, 1].set(1.5)
+
+    fn = jax.jit(lambda f_, m_, t_, tm_, w_: _local_query(f_, m_, t_, tm_, w_, k=k))
+    t0 = time.time()
+    vals, idx = fn(feats, mask, targets, tmask, weights)
+    _ = np.asarray(vals)  # forced readback: block_until_ready is a no-op here
+    log(f"[query] compile+first: {time.time()-t0:.1f}s")
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        vals, idx = fn(feats, mask, targets, tmask, weights)
+        _ = np.asarray(vals)
+        times.append(time.time() - t0)
+    p50 = float(np.median(times)) * 1000
+    per_query = p50 / q
+    log(f"[query] batch of {q} queries over {n_segments} segments: "
+        f"p50 {p50:.1f} ms/batch = {per_query:.2f} ms/query (target <100 ms)")
+    return p50
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="both", choices=["extract", "query", "both"])
+    ap.add_argument("--segments", type=int, default=1_000_000)
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--batch_clips", type=int, default=4)
+    args = ap.parse_args()
+
+    rate = None
+    p50 = None
+    if args.mode in ("extract", "both"):
+        rate = bench_extraction(n_batches=args.batches,
+                                batch_clips=args.batch_clips)
+    if args.mode in ("query", "both"):
+        p50 = bench_query(n_segments=args.segments)
+
+    if rate is not None:
+        print(json.dumps({
+            "metric": "two_stream_extraction_throughput"
+                      + ("_and_query_p50_ms_%.1f" % p50 if p50 is not None else ""),
+            "value": round(rate, 3),
+            "unit": "clips/s/chip",
+            "vs_baseline": round(rate / 1000.0, 4),
+        }))
+    else:
+        print(json.dumps({
+            "metric": "query_p50_over_%d_segments" % args.segments,
+            "value": round(p50, 2),
+            "unit": "ms",
+            "vs_baseline": round(100.0 / p50, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: sharded search,
+data-parallel training, sharded extraction compile."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoquery.core.meshes import DATA_AXIS, make_mesh
+from videoquery.index.store import FeatureIndex, FeatureRecord
+from videoquery.search.distributed import ShardedSearch
+from videoquery.search.engine import SearchEngine
+
+STREAMS = ("rgb", "warped_optical_flow")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(model_parallel=1)
+
+
+def build_index(rng, n=100, dim=32, pad_multiple=8, p_missing=0.2):
+    records = []
+    for cid in range(1, n + 1):
+        for s in STREAMS:
+            for k in (1, 2, 3):
+                if rng.random() > p_missing:
+                    records.append(
+                        FeatureRecord(cid * 7, s, k, "global_pool",
+                                      rng.normal(size=dim))
+                    )
+    return FeatureIndex.build(records, STREAMS, feature_dim=dim,
+                              pad_multiple=pad_multiple, keep_host=True)
+
+
+def test_sharded_topk_matches_single_device(rng, mesh):
+    index = build_index(rng, n=100, dim=32)
+    search = ShardedSearch(index, mesh)
+    targets, weights = [], []
+    for _ in range(3):
+        targets.append({
+            s: {k: rng.normal(size=32).tolist() for k in (1, 2, 3)}
+            for s in STREAMS
+        })
+        weights.append({"rgb": 1.0, "warped_optical_flow": 1.5})
+    vals, ids = search.query_dicts(targets, weights, k=10)
+    assert vals.shape == (3, 10) and ids.shape == (3, 10)
+
+    # oracle: exact engine per query
+    for qi in range(3):
+        table = SearchEngine(index, exact=True).compute_similarities(targets[qi])
+        scores = table.scores(weights[qi])
+        want = sorted(scores.items(), key=lambda kv: -kv[1])[:10]
+        got = list(zip(ids[qi], vals[qi]))
+        for (wid, wscore), (gid, gscore) in zip(want, got):
+            # ranking may swap exact ties; compare score sequences + id sets
+            np.testing.assert_allclose(gscore, wscore, rtol=1e-4, atol=1e-5)
+        assert {int(i) for i in ids[qi]} == {int(c) for c, _ in want}
+
+
+def test_sharded_search_requires_divisible_padding(rng, mesh):
+    index = build_index(rng, n=10, dim=8, pad_multiple=3)
+    if index.n_padded % mesh.shape[DATA_AXIS] == 0:
+        pytest.skip("padding happens to divide")
+    with pytest.raises(ValueError):
+        ShardedSearch(index, mesh)
+
+
+def test_train_step_data_parallel(rng, mesh):
+    from videoquery.nn import bn_inception
+    from videoquery.train.trainer import TrainConfig, TSNTrainer
+
+    cfg = TrainConfig(num_segments=2, num_classes=11, dropout_rate=0.0,
+                      learning_rate=0.01)
+    params = bn_inception.init_params(0, in_channels=3, num_classes=11)
+    trainer = TSNTrainer(params, cfg, mesh=mesh)
+    frames = rng.normal(size=(8, 2, 64, 64, 3)).astype(np.float32)
+    labels = rng.integers(0, 11, size=(8,))
+    m1 = trainer.step(frames, labels, jax.random.PRNGKey(0))
+    loss1 = float(m1["loss"])
+    for i in range(4):
+        m = trainer.step(frames, labels, jax.random.PRNGKey(i + 1))
+    assert np.isfinite(loss1)
+    assert float(m["loss"]) < loss1  # memorizing one batch must reduce loss
+
+
+def test_train_matches_unsharded(rng):
+    """One DP step on the 8-device mesh == the same step on one device."""
+    from videoquery.nn import bn_inception
+    from videoquery.train.trainer import TrainConfig, train_step, make_optimizer
+
+    cfg = TrainConfig(num_segments=1, num_classes=5, dropout_rate=0.0)
+    params = bn_inception.init_params(1, in_channels=3, num_classes=5)
+    frames = jnp.asarray(rng.normal(size=(8, 1, 64, 64, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 5, size=(8,)))
+    rng_key = jax.random.PRNGKey(0)
+
+    opt0 = jax.jit(make_optimizer(cfg).init)(params)
+    import copy
+    p1, _, m1 = train_step(jax.tree.map(jnp.copy, params),
+                           jax.tree.map(jnp.copy, opt0),
+                           frames, labels, rng_key, cfg)
+
+    mesh = make_mesh(model_parallel=1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pr = jax.device_put(params, NamedSharding(mesh, P()))
+    opt = jax.jit(make_optimizer(cfg).init)(pr)
+    fr = jax.device_put(frames, NamedSharding(mesh, P(DATA_AXIS)))
+    lb = jax.device_put(labels, NamedSharding(mesh, P(DATA_AXIS)))
+    p2, _, m2 = train_step(pr, opt, fr, lb, rng_key, cfg)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    w1 = np.asarray(p1["conv1/7x7_s2"]["w"])
+    w2 = np.asarray(p2["conv1/7x7_s2"]["w"])
+    np.testing.assert_allclose(w1, w2, rtol=2e-4, atol=2e-6)
+
+
+def test_extraction_step_compiles_sharded(rng, mesh):
+    """The fused extract step compiles and runs with the clip batch sharded
+    over the data axis and the ensemble over the model axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from videoquery.kernels.tvl1 import TVL1Params
+    from videoquery.nn.tsn import TwoStreamTSN
+    from videoquery.pipeline.extract import _extract_step
+
+    from videoquery.nn.tsn import StreamEnsemble
+
+    mesh2 = make_mesh(model_parallel=2)
+    # flow net sized for the test's stack depth 2 (-> 4 channels)
+    tsn = TwoStreamTSN(
+        StreamEnsemble.random(jax.random.PRNGKey(0), 3, splits=(1, 2)),
+        StreamEnsemble.random(jax.random.PRNGKey(1), 4, splits=(1, 2)),
+    )
+    frames = rng.integers(0, 255, (4, 6, 64, 80, 3)).astype(np.uint8)
+    frames = jax.device_put(
+        jnp.asarray(frames), NamedSharding(mesh2, P(DATA_AXIS)))
+    rgb_params = jax.device_put(
+        tsn.rgb.stacked_params,
+        NamedSharding(mesh2, P("model")))
+    flow_params = jax.device_put(
+        tsn.flow.stacked_params,
+        NamedSharding(mesh2, P("model")))
+    ticks = jnp.asarray([0, 2, 4], jnp.int32)
+    sidx = jnp.asarray(np.minimum(np.arange(3)[:, None] * 2
+                                  + np.arange(2)[None, :], 5), jnp.int32)
+    rgb_emb, flow_emb = _extract_step(
+        rgb_params, flow_params, frames, ticks, sidx,
+        20.0, False, TVL1Params(n_scales=2, n_warps=1, n_iters=4),
+        (120, 96), 64, "float32",
+    )
+    assert rgb_emb.shape == (2, 4, 1024)
+    assert np.isfinite(np.asarray(rgb_emb)).all()

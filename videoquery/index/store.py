@@ -186,12 +186,21 @@ class FeatureIndex:
                     m[si, ki] = True
         return t, m
 
-    def shard(self, sharding) -> "FeatureIndex":
-        """Re-place the index arrays with the given sharding (clip axis = 2)."""
+    def shard(self, feats_sharding, mask_sharding=None) -> "FeatureIndex":
+        """Re-place the index arrays with the given shardings. feats is rank
+        4 [S, K, N, D]; mask is rank 3 [S, K, N] — if mask_sharding is not
+        given, it is derived by dropping the last axis of the feats spec."""
+        if mask_sharding is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = feats_sharding.spec
+            mask_sharding = NamedSharding(
+                feats_sharding.mesh, PartitionSpec(*spec[:3])
+            )
         return FeatureIndex(
             self.clip_ids,
-            jax.device_put(self.feats, sharding),
-            jax.device_put(self.mask, sharding),
+            jax.device_put(self.feats, feats_sharding),
+            jax.device_put(self.mask, mask_sharding),
             self.streams,
             self.splits,
             self.feature_name,

@@ -78,9 +78,11 @@ def max_pool(x: jax.Array, k: int, s: int, pad: int = 0) -> jax.Array:
     """Caffe MAX pooling (ceil mode, -inf padding)."""
     ph = _ceil_pool_padding(x.shape[1], k, s, pad)
     pw = _ceil_pool_padding(x.shape[2], k, s, pad)
+    # init must be a scalar literal so XLA dispatches to the differentiable
+    # reduce_window_max primitive (array inits select the generic reducer,
+    # which has no transpose rule under jit+grad)
     return jax.lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.array(-jnp.inf, x.dtype),
-        jax.lax.max, (1, k, k, 1), (1, s, s, 1),
+        x, -float("inf"), jax.lax.max, (1, k, k, 1), (1, s, s, 1),
         ((0, 0), ph, pw, (0, 0)),
     )
 
@@ -92,7 +94,7 @@ def avg_pool(x: jax.Array, k: int, s: int, pad: int = 0) -> jax.Array:
     ph = _ceil_pool_padding(x.shape[1], k, s, pad)
     pw = _ceil_pool_padding(x.shape[2], k, s, pad)
     summed = jax.lax.reduce_window(
-        x, jnp.array(0, x.dtype), jax.lax.add,
+        x, 0.0, jax.lax.add,  # scalar literal: see max_pool note
         (1, k, k, 1), (1, s, s, 1), ((0, 0), ph, pw, (0, 0)),
     )
     return summed / jnp.array(k * k, x.dtype)
