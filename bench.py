@@ -29,15 +29,15 @@ def log(*a):
 def bench_extraction(n_batches: int = 4, batch_clips: int = 4,
                      frames_per_clip: int = 150, hw=(256, 340),
                      num_ticks: int = 25, splits=(1, 2, 3),
-                     flow_scales: int = 3, flow_warps: int = 2,
-                     flow_iters: int = 10, flow_res_div: int = 2,
+                     flow_scales: int = 5, flow_warps: int = 5,
+                     flow_iters: int = 30, flow_res_div: int = 2,
                      dtype: str = "bfloat16") -> float:
     import jax
     import jax.numpy as jnp
 
     from videoquery.kernels.tvl1 import TVL1Params
     from videoquery.nn.tsn import TwoStreamTSN
-    from videoquery.pipeline.extract import _extract_step
+    from videoquery.pipeline.extract import _extract_step, default_flow_impl
     from videoquery.pipeline.sampling import frame_ticks
 
     h, w = hw
@@ -57,10 +57,15 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 4,
     ticks_j = jnp.asarray(ticks, jnp.int32)
     sidx_j = jnp.asarray(sidx, jnp.int32)
 
+    impl = default_flow_impl()
+    log(f"[extract] flow impl: {impl}, tvl1 s{flow_scales} w{flow_warps} "
+        f"i{flow_iters}, flow res 1/{flow_res_div}")
+
     def step():
         r, f = _extract_step(
             tsn.rgb.stacked_params, tsn.flow.stacked_params, frames,
-            ticks_j, sidx_j, 20.0, True, tvl1, (340, 256), 224, dtype,
+            ticks_j, sidx_j, 20.0, True, tvl1, (340, 256), 224, dtype, impl,
+            flow_res_div,
         )
         # block_until_ready does NOT block on the tunneled axon backend;
         # force a scalar readback to synchronize

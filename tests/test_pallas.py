@@ -1,0 +1,82 @@
+"""Pallas TV-L1 kernels vs the XLA reference implementation (interpret mode
+on the CPU mesh; the same code compiles for real TPUs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from videoquery.kernels.tvl1 import TVL1Params, _tvl1_level
+from videoquery.kernels.warp import bilinear_warp
+
+
+def make_texture(rng, h, w):
+    import jax.image
+
+    base = jnp.asarray(rng.normal(size=(h // 8, w // 8)))
+    img = jax.image.resize(base, (h, w), "cubic")
+    return ((img - img.min()) / (img.max() - img.min())).astype(jnp.float32)
+
+
+def test_window_warp_matches_bilinear(rng):
+    from videoquery.kernels.tvl1_pallas import window_warp_pallas
+
+    img = make_texture(rng, 32, 128)
+    u = jnp.asarray(rng.uniform(-3, 3, (32, 128)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-3, 3, (32, 128)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(window_warp_pallas(img[None], u[None], v[None], d=4)[0])
+    want = np.asarray(bilinear_warp(img, u, v))
+    np.testing.assert_allclose(got[4:-4, 4:-4], want[4:-4, 4:-4],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_level_kernel_matches_xla_reference(rng):
+    from videoquery.kernels.tvl1_pallas import tvl1_level_pallas
+
+    img = make_texture(rng, 32, 128)
+    moved = bilinear_warp(img, -0.6 * jnp.ones_like(img), 0.3 * jnp.ones_like(img))
+    I0, I1 = img[None], moved[None]
+    u0 = jnp.zeros((1, 32, 128))
+    v0 = jnp.zeros((1, 32, 128))
+    p = TVL1Params(n_scales=1, n_warps=2, n_iters=8)
+    ux, vx = jax.vmap(lambda a, b, c, d: _tvl1_level(a, b, c, d, p))(I0, I1, u0, v0)
+    with pltpu.force_tpu_interpret_mode():
+        up, vp = tvl1_level_pallas(I0, I1, u0, v0, p, max_disp=4)
+    # identical update equations; differences only at the 1px border
+    np.testing.assert_allclose(np.asarray(up)[0, 4:-4, 4:-4],
+                               np.asarray(ux)[0, 4:-4, 4:-4],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vp)[0, 4:-4, 4:-4],
+                               np.asarray(vx)[0, 4:-4, 4:-4],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_affine_rollwindow_matches_gather_warp(rng):
+    from videoquery.kernels.tvl1_pallas import _affine_warp_rollwindow
+    from videoquery.kernels.warp import warp_affine
+
+    img = make_texture(rng, 32, 128)
+    # translation of 7px (beyond the d=4 window -> exercises the roll) plus
+    # a mild shear/zoom residual
+    A = jnp.asarray([[[0.01, 0.002, 7.0], [0.001, -0.01, -3.0]]])
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_affine_warp_rollwindow(img[None], A, d=4)[0])
+    eye = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]])
+    want = np.asarray(warp_affine(img, A[0] + eye))
+    np.testing.assert_allclose(got[8:-8, 12:-12], want[8:-8, 12:-12],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pyramid_pallas_recovers_translation(rng):
+    from videoquery.kernels.tvl1_pallas import tvl1_flow_pallas
+
+    img = make_texture(rng, 64, 128)
+    moved = bilinear_warp(img, -2.0 * jnp.ones_like(img), 1.0 * jnp.ones_like(img))
+    p = TVL1Params(n_scales=3, n_warps=4, n_iters=25)
+    with pltpu.force_tpu_interpret_mode():
+        u, v = tvl1_flow_pallas(img[None], moved[None], p, max_disp=6)
+    interior = (slice(0, 1), slice(12, -12), slice(12, -12))
+    assert abs(float(jnp.median(u[interior])) - 2.0) < 0.8
+    assert abs(float(jnp.median(v[interior])) + 1.0) < 0.8

@@ -152,6 +152,9 @@ class ExtractionConfig:
     flow_bound: float = 20.0     # dense_flow -b 20 (build_wof_clips.py:70-73)
     min_tail_seconds: int = 2    # remainder clip kept iff >= 2 s (build_wof_clips.py:105)
     batch_clips: int = 8         # clips per device batch in the extractor
+    # compute optical flow at frame_res/flow_res_div and rescale flow values
+    # to native pixels (quality/speed knob; flow cost scales quadratically)
+    flow_res_div: int = 1
 
     @property
     def frames_per_clip(self) -> int:

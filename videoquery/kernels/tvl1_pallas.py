@@ -1,0 +1,356 @@
+"""Pallas TPU kernel for TV-L1 optical flow.
+
+Why: the XLA path (kernels/tvl1.py) is bound by two TPU pathologies measured
+on the chip — arbitrary gathers run at ~50 ns/index (the bilinear warp), and
+the ~20 elementwise passes per primal-dual iteration each round-trip HBM.
+This kernel runs an ENTIRE pyramid level for one frame pair inside VMEM:
+one HBM read of (I0, I1, u, v), n_warps x n_iters of updates on-chip, one
+HBM write of (u, v).
+
+Gather-free warping: bilinear sampling at (x+u, y+v) is decomposed into a
+window of integer shifts with per-pixel bilinear weights
+w(dy,dx) = max(0, 1-|v-dy|) * max(0, 1-|u-dx|) — exact bilinear
+interpolation for |flow| <= D, flow clamped to the window (the reference
+pipeline clamps flow to ±20 px at quantization anyway,
+build_wof_clips.py:70-73). The window is a fori_loop over offsets whose
+body takes ONE dynamic VMEM slice of an edge-prepadded I1 — unrolling the
+window statically overwhelms the Mosaic register allocator beyond ~36
+terms. I1 and its two gradient images are warped together, sharing the
+weight computation.
+
+Semantics match kernels/tvl1._tvl1_level (same update equations); the pure
+JAX path remains the portable reference implementation and the test oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from videoquery.kernels.tvl1 import TVL1Params
+
+
+def _forward_diff(f):
+    h, w = f.shape
+    fx = jnp.concatenate([f[:, 1:] - f[:, :-1], jnp.zeros((h, 1), f.dtype)], axis=1)
+    fy = jnp.concatenate([f[1:, :] - f[:-1, :], jnp.zeros((1, w), f.dtype)], axis=0)
+    return fx, fy
+
+
+def _divergence(p1, p2):
+    d1 = jnp.concatenate([p1[:, :1], p1[:, 1:-1] - p1[:, :-2], -p1[:, -2:-1]], axis=1)
+    d2 = jnp.concatenate([p2[:1, :], p2[1:-1, :] - p2[:-2, :], -p2[-2:-1, :]], axis=0)
+    return d1 + d2
+
+
+def _level_kernel(i0_ref, i1p_ref, i1xp_ref, i1yp_ref, u_ref, v_ref,
+                  uo_ref, vo_ref, *, p: TVL1Params, d: int):
+    """One whole pyramid level in VMEM. i1p/i1xp/i1yp are edge-padded by
+    P = d+1 (top/left) and at least P (bottom/right) on the spatial dims."""
+    i0 = i0_ref[0]
+    u = u_ref[0]
+    v = v_ref[0]
+    i1p = i1p_ref[0]
+    i1xp = i1xp_ref[0]
+    i1yp = i1yp_ref[0]
+    h, w = i0.shape
+    l_t = p.lambda_ * p.theta
+    taut = p.tau / p.theta
+    nwin = 2 * d + 2
+    pad = d + 1
+
+    def warp3(u_, v_):
+        """Window-warp (I1, I1x, I1y) by (u_, v_) with shared weights.
+
+        Nested fori_loops with DYNAMIC pltpu.roll shifts (the one dynamic
+        data-movement op Mosaic lowers efficiently): static-slice windows
+        blow the VMEM stack past ~100 unrolled terms, dynamic ref offsets
+        must be 8/128-aligned, and value-level dynamic_slice is unlowered.
+        Rolling by pad+offset and reading [0:h, 0:w] never wraps content
+        into view (padding margin >= the largest shift).
+
+        MOSAIC BUG WORKAROUND (observed on v5e, jax 0.9): dynamic roll with
+        a NEGATIVE shift along the sublane axis silently corrupts data —
+        always roll by the positive complement (size - shift)."""
+        zeros = jnp.zeros((h, w), jnp.float32)
+        hh = i1p.shape[0]
+        ww = i1p.shape[1]
+
+        def outer(iy, accs):
+            dy = iy - d
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(v_ - dy.astype(jnp.float32)))
+            sy = hh - (pad + dy)  # == roll(-(pad+dy)), kept positive
+            r0 = pltpu.roll(i1p, sy, 0)
+            r1 = pltpu.roll(i1xp, sy, 0)
+            r2 = pltpu.roll(i1yp, sy, 0)
+
+            def inner(ix, accs2):
+                a0, a1, a2 = accs2
+                dx = ix - d
+                wgt = wy * jnp.maximum(
+                    0.0, 1.0 - jnp.abs(u_ - dx.astype(jnp.float32)))
+                sx = ww - (pad + dx)
+                s0 = pltpu.roll(r0, sx, 1)[:h, :w]
+                s1 = pltpu.roll(r1, sx, 1)[:h, :w]
+                s2 = pltpu.roll(r2, sx, 1)[:h, :w]
+                return a0 + wgt * s0, a1 + wgt * s1, a2 + wgt * s2
+
+            return jax.lax.fori_loop(0, nwin, inner, accs)
+
+        return jax.lax.fori_loop(0, nwin, outer, (zeros, zeros, zeros))
+
+    p11 = jnp.zeros((h, w), jnp.float32)
+    p12 = jnp.zeros_like(p11)
+    p21 = jnp.zeros_like(p11)
+    p22 = jnp.zeros_like(p11)
+
+    for _warp in range(p.n_warps):
+        u = jnp.clip(u, -d, d)
+        v = jnp.clip(v, -d, d)
+        i1w, i1wx, i1wy = warp3(u, v)
+        grad = i1wx * i1wx + i1wy * i1wy
+        rho_c = i1w - i1wx * u - i1wy * v - i0
+
+        def inner(_, carry):
+            u_, v_, q11, q12, q21, q22 = carry
+            rho = rho_c + i1wx * u_ + i1wy * v_
+            th = l_t * grad
+            step = (
+                jnp.where(rho < -th, l_t, 0.0)
+                + jnp.where(rho > th, -l_t, 0.0)
+                + jnp.where((rho >= -th) & (rho <= th),
+                            -rho / jnp.maximum(grad, p.grad_eps), 0.0)
+            )
+            u1 = u_ + step * i1wx
+            v1 = v_ + step * i1wy
+            un = u1 + p.theta * _divergence(q11, q12)
+            vn = v1 + p.theta * _divergence(q21, q22)
+            ux, uy = _forward_diff(un)
+            vx, vy = _forward_diff(vn)
+            gu = jnp.sqrt(ux * ux + uy * uy)
+            gv = jnp.sqrt(vx * vx + vy * vy)
+            q11 = (q11 + taut * ux) / (1.0 + taut * gu)
+            q12 = (q12 + taut * uy) / (1.0 + taut * gu)
+            q21 = (q21 + taut * vx) / (1.0 + taut * gv)
+            q22 = (q22 + taut * vy) / (1.0 + taut * gv)
+            return un, vn, q11, q12, q21, q22
+
+        u, v, p11, p12, p21, p22 = jax.lax.fori_loop(
+            0, p.n_iters, inner, (u, v, p11, p12, p21, p22)
+        )
+
+    uo_ref[0] = u
+    vo_ref[0] = v
+
+
+def _warp_kernel(ip_ref, u_ref, v_ref, o_ref, *, d: int):
+    """Generic single-image window warp: o = bilinear_sample(i, y+v, x+u)
+    for |u|,|v| <= d (same roll-window machinery as the level kernel)."""
+    u_ = u_ref[0]
+    v_ = v_ref[0]
+    ip = ip_ref[0]
+    h, w = u_.shape
+    nwin = 2 * d + 2
+    pad = d + 1
+    hh, ww = ip.shape
+
+    def outer(iy, acc):
+        dy = iy - d
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(v_ - dy.astype(jnp.float32)))
+        r0 = pltpu.roll(ip, hh - (pad + dy), 0)
+
+        def inner(ix, a):
+            dx = ix - d
+            wgt = wy * jnp.maximum(0.0, 1.0 - jnp.abs(u_ - dx.astype(jnp.float32)))
+            return a + wgt * pltpu.roll(r0, ww - (pad + dx), 1)[:h, :w]
+
+        return jax.lax.fori_loop(0, nwin, inner, acc)
+
+    o_ref[0] = jax.lax.fori_loop(0, nwin, outer, jnp.zeros((h, w), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def window_warp_pallas(img, u, v, d: int = 4):
+    """Batched window warp [N, H, W]; flow clamped to +-d."""
+    n, h, w = img.shape
+    hp = _round_up(h, 8)
+    wp = _round_up(w, 128)
+    pad = d + 1
+    hh = _round_up(h + 2 * pad, 8)
+    ww = _round_up(w + 2 * pad, 128)
+    imgp = jnp.pad(img, ((0, 0), (pad, hh - h - pad), (pad, ww - w - pad)),
+                   mode="edge")
+    up = jnp.pad(jnp.clip(u, -d, d), ((0, 0), (0, hp - h), (0, wp - w)))
+    vp = jnp.pad(jnp.clip(v, -d, d), ((0, 0), (0, hp - h), (0, wp - w)))
+    spec = pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    specp = pl.BlockSpec((1, hh, ww), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_warp_kernel, d=d),
+        grid=(n,),
+        in_specs=[specp, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n, hp, wp), jnp.float32),
+    )(imgp, up, vp)
+    return out[:, :h, :w]
+
+
+def _affine_warp_rollwindow(img, A, d: int = 4):
+    """Global-affine warp without gathers: integer translation via roll +
+    residual displacement via the window warp. Handles arbitrarily large
+    pans (the roll) with only a small window for the zoom/rotation residual.
+    img [N, H, W], A [N, 2, 3] mapping output -> source DISPLACEMENT:
+    src = [x, y] + A @ [x, y, 1]."""
+    n, h, w = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    # displacement at the center -> integer roll component
+    t = jnp.stack([
+        A[:, 0, 0] * cx + A[:, 0, 1] * cy + A[:, 0, 2],
+        A[:, 1, 0] * cx + A[:, 1, 1] * cy + A[:, 1, 2],
+    ], axis=1)                                   # [N, 2] (dx, dy)
+    t_int = jnp.round(t).astype(jnp.int32)
+    # roll is circular; the residual window warp clamps at borders, and the
+    # wrapped band (width <= |t|) only affects frame edges
+    def roll_one(im, ti):
+        return jnp.roll(jnp.roll(im, -ti[1], axis=0), -ti[0], axis=1)
+
+    rolled = jax.vmap(roll_one)(img, t_int)
+    du = (A[:, 0, 0, None, None] * xs + A[:, 0, 1, None, None] * ys
+          + A[:, 0, 2, None, None]) - t_int[:, 0, None, None]
+    dv = (A[:, 1, 0, None, None] * xs + A[:, 1, 1, None, None] * ys
+          + A[:, 1, 2, None, None]) - t_int[:, 1, None, None]
+    return window_warp_pallas(rolled, du, dv, d)
+
+
+def _centered_grad_batch(img):
+    """Centered spatial gradients, one-sided at borders (batch [N, H, W]);
+    matches tvl1._centered_grad."""
+    gx = (jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+          - jnp.concatenate([img[:, :, :1], img[:, :, :-1]], axis=2))
+    gy = (jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+          - jnp.concatenate([img[:, :1], img[:, :-1]], axis=1))
+    w = img.shape[2]
+    h = img.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, img.shape, 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, img.shape, 1)
+    gx = jnp.where((col > 0) & (col < w - 1), gx * 0.5, gx)
+    gy = jnp.where((row > 0) & (row < h - 1), gy * 0.5, gy)
+    return gx, gy
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("p", "max_disp"))
+def tvl1_level_pallas(i0, i1, u, v, p: TVL1Params = TVL1Params(),
+                      max_disp: int = 8):
+    """One TV-L1 pyramid level for a batch of frame pairs. i0, i1, u, v:
+    f32[N, H, W]; returns updated (u, v)."""
+    n, h, w = i0.shape
+    hp = _round_up(h, 8)
+    wp = _round_up(w, 128)
+    pad = max_disp + 1
+
+    def pad_plain(x):
+        return jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+
+    def pad_window(x):
+        # top/left margin exactly `pad`; bottom/right at least `pad`,
+        # rounded so the padded array is (8, 128)-tile aligned for rolls
+        hh = _round_up(h + 2 * pad, 8)
+        ww = _round_up(w + 2 * pad, 128)
+        return jnp.pad(x, ((0, 0), (pad, hh - h - pad), (pad, ww - w - pad)),
+                       mode="edge")
+
+    i1x, i1y = _centered_grad_batch(i1)
+    i0p = pad_plain(i0)
+    up = pad_plain(u)
+    vp = pad_plain(v)
+    i1p = pad_window(i1)
+    i1xp = pad_window(i1x)
+    i1yp = pad_window(i1y)
+
+    hh = _round_up(h + 2 * pad, 8)
+    ww = _round_up(w + 2 * pad, 128)
+    spec = pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    spec_padded = pl.BlockSpec((1, hh, ww), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    out_u, out_v = pl.pallas_call(
+        functools.partial(_level_kernel, p=p, d=max_disp),
+        grid=(n,),
+        in_specs=[spec, spec_padded, spec_padded, spec_padded, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n, hp, wp), jnp.float32),
+        ],
+    )(i0p, i1p, i1xp, i1yp, up, vp)
+    return out_u[:, :h, :w], out_v[:, :h, :w]
+
+
+def _resize2(img, hw):
+    return jax.image.resize(img, img.shape[:-2] + hw, method="linear")
+
+
+@functools.partial(jax.jit, static_argnames=("p", "max_disp"))
+def tvl1_flow_pallas(
+    I0: jax.Array,  # f32 [N, H, W] in [0, 1]
+    I1: jax.Array,
+    p: TVL1Params = TVL1Params(),
+    max_disp: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Full pyramidal TV-L1 using the Pallas level kernel. The shift window
+    shrinks with pyramid scale (flow magnitude scales with resolution)."""
+    from videoquery.kernels.tvl1 import _pyramid_shapes
+
+    shapes = _pyramid_shapes(I0.shape[1], I0.shape[2], p)
+    pyr0 = [I0]
+    pyr1 = [I1]
+    for i in range(1, len(shapes)):
+        pyr0.append(_resize2(pyr0[-1], shapes[i]))
+        pyr1.append(_resize2(pyr1[-1], shapes[i]))
+    n = I0.shape[0]
+    u = jnp.zeros((n,) + shapes[-1], jnp.float32)
+    v = jnp.zeros((n,) + shapes[-1], jnp.float32)
+    for i in reversed(range(len(shapes))):
+        d = max(2, round(max_disp * p.scale_step ** i))
+        u, v = tvl1_level_pallas(pyr0[i], pyr1[i], u, v, p, d)
+        if i > 0:
+            inv = 1.0 / p.scale_step
+            u = _resize2(u, shapes[i - 1]) * inv
+            v = _resize2(v, shapes[i - 1]) * inv
+    return u, v
+
+
+@functools.partial(jax.jit, static_argnames=("p", "max_disp", "coarse_hw"))
+def tvl1_warped_flow_pallas(
+    I0: jax.Array,
+    I1: jax.Array,
+    p: TVL1Params = TVL1Params(),
+    max_disp: int = 8,
+    coarse_hw: tuple[int, int] = (64, 96),
+) -> tuple[jax.Array, jax.Array]:
+    """Warped (camera-motion-compensated) variant on the Pallas path. The
+    global-motion pass reuses the Pallas solver at coarse resolution; the
+    compensation warp is integer-roll translation + a small Pallas window
+    warp for the affine residual — no gathers anywhere (a gather-based
+    affine resample tripled total flow cost on this chip)."""
+    from videoquery.kernels.motion import estimate_affine_batch
+
+    coarse = TVL1Params(n_scales=3, n_warps=3, n_iters=20,
+                        scale_step=p.scale_step)
+    c0 = _resize2(I0, coarse_hw)
+    c1 = _resize2(I1, coarse_hw)
+    cu, cv = tvl1_flow_pallas(c0, c1, coarse, max_disp=max_disp)
+    sx = I0.shape[2] / coarse_hw[1]
+    sy = I0.shape[1] / coarse_hw[0]
+    A = estimate_affine_batch(cu * sx, cv * sy)
+    i1w = _affine_warp_rollwindow(I1, A, d=4)
+    return tvl1_flow_pallas(I0, i1w, p, max_disp=max_disp)

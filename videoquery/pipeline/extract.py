@@ -45,8 +45,18 @@ from videoquery.pipeline.sampling import clip_ranges, frame_ticks
 log = logging.getLogger(__name__)
 
 
+def default_flow_impl() -> str:
+    """Pallas on TPU (80x faster: whole pyramid level in VMEM, gather-free
+    window warp); portable XLA path elsewhere."""
+    import jax.extend.backend
+
+    return "pallas" if "tpu" in jax.extend.backend.get_backend().platform.lower() \
+        or jax.devices()[0].device_kind.startswith("TPU") else "xla"
+
+
 def _clip_flow(gray: jax.Array, bound: float, warped: bool,
-               tvl1: TVL1Params) -> jax.Array:
+               tvl1: TVL1Params, impl: str = "xla",
+               value_scale: float = 1.0) -> jax.Array:
     """Per-frame optical flow for whole clips, quantized like dense_flow.
 
     gray: f32 [B, F, H, W] in [0, 1]. Returns u8 [B, F, H, W, 2] (x, y).
@@ -56,20 +66,31 @@ def _clip_flow(gray: jax.Array, bound: float, warped: bool,
     b, f, h, w = gray.shape
     i0 = gray[:, :-1].reshape(b * (f - 1), h, w)
     i1 = gray[:, 1:].reshape(b * (f - 1), h, w)
-    flow_fn = tvl1_warped_flow if warped else tvl1_flow
+    if impl == "pallas":
+        from videoquery.kernels.tvl1_pallas import (
+            tvl1_flow_pallas,
+            tvl1_warped_flow_pallas,
+        )
+
+        flow_fn = tvl1_warped_flow_pallas if warped else tvl1_flow_pallas
+    else:
+        flow_fn = tvl1_warped_flow if warped else tvl1_flow
     u, v = flow_fn(i0, i1, tvl1)
-    uv = jnp.stack([u, v], axis=-1).reshape(b, f - 1, h, w, 2)
+    # flow computed at reduced resolution measures motion in its own pixels;
+    # rescale to native-resolution pixels before dense_flow-style quantization
+    uv = jnp.stack([u, v], axis=-1).reshape(b, f - 1, h, w, 2) * value_scale
     uv = jnp.concatenate([uv, uv[:, -1:]], axis=1)
     return quantize_flow(uv, bound)
 
 
-clip_flow = jax.jit(_clip_flow, static_argnames=("bound", "warped", "tvl1"))
+clip_flow = jax.jit(_clip_flow, static_argnames=("bound", "warped", "tvl1", "impl",
+                                                 "value_scale"))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("bound", "warped", "tvl1", "cfg_resize", "cfg_crop",
-                     "dtype_str"),
+                     "dtype_str", "flow_impl", "flow_res_div"),
 )
 def _extract_step(
     rgb_params,
@@ -83,6 +104,8 @@ def _extract_step(
     cfg_resize: tuple[int, int],
     cfg_crop: int,
     dtype_str: str,
+    flow_impl: str = "xla",
+    flow_res_div: int = 1,
 ):
     """The whole per-batch extraction as ONE device program:
     grayscale -> warped TV-L1 -> tick gather -> preprocess -> 6-way TSN.
@@ -96,13 +119,19 @@ def _extract_step(
     f32 = frames_u8.astype(jnp.float32)
     # ITU-R 601 luma, matching cv2 BGR2GRAY
     gray = (0.114 * f32[..., 0] + 0.587 * f32[..., 1] + 0.299 * f32[..., 2]) / 255.0
-    flow_q = _clip_flow(gray, bound, warped, tvl1)        # u8 [B,F,H,W,2]
+    if flow_res_div > 1:
+        bb, ff = gray.shape[:2]
+        fh = gray.shape[2] // flow_res_div
+        fw = gray.shape[3] // flow_res_div
+        gray = jax.image.resize(gray, (bb, ff, fh, fw), method="linear")
+    flow_q = _clip_flow(gray, bound, warped, tvl1, flow_impl,
+                        float(flow_res_div))      # u8 [B,F,fh,fw,2]
 
     rgb_ticks = jnp.take(frames_u8, rgb_tick_idx, axis=1)  # [B,T,H,W,3]
     stacks = jnp.take(flow_q, stack_idx.reshape(-1), axis=1)
     b = frames_u8.shape[0]
     t, d = stack_idx.shape
-    h, w = frames_u8.shape[2:4]
+    h, w = flow_q.shape[2:4]   # flow may be at reduced resolution
     stacks = stacks.reshape(b, t, d, h, w, 2)
     # interleave x/y per depth -> channels [x1, y1, ..., xD, yD]
     stacks = stacks.transpose(0, 1, 3, 4, 2, 5).reshape(b, t, h, w, d * 2)
@@ -132,12 +161,14 @@ class ClipSignatures:
 class Extractor:
     def __init__(self, tsn: TwoStreamTSN, cfg: ExtractionConfig | None = None,
                  warped: bool = True, dtype: str = "float32",
-                 tvl1: TVL1Params | None = None):
+                 tvl1: TVL1Params | None = None, flow_impl: str | None = None):
         self.tsn = tsn
         self.cfg = cfg or ExtractionConfig()
         self.warped = warped
         self.dtype = dtype
         self.tvl1 = tvl1 or TVL1Params()
+        self.flow_impl = flow_impl or default_flow_impl()
+        self.flow_res_div = self.cfg.flow_res_div
 
     def extract_frames(self, frames: np.ndarray, clip_numbers=None
                        ) -> Iterator[ClipSignatures]:
@@ -181,6 +212,8 @@ class Extractor:
             cfg.frame_resize,
             cfg.crop_size,
             self.dtype,
+            self.flow_impl,
+            self.flow_res_div,
         )
         return ClipSignatures(
             nums, np.asarray(rgb_emb, np.float32), np.asarray(flow_emb, np.float32),
