@@ -56,3 +56,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def pad_to_multiple(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Multi-host bring-up: jax.distributed over ICI/DCN — the TPU-native
+    replacement for the reference's (unused) MPI Caffe build
+    (features_GPU_compute/Dockerfile:37-53; SURVEY.md §5.8). On Cloud TPU
+    pods the arguments are auto-detected from the environment."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
