@@ -152,10 +152,49 @@ def _extract_step(
 
 @dataclasses.dataclass
 class ClipSignatures:
+    """Per-batch signatures. rgb/flow may be device arrays (deferred
+    readback — device->host readback costs dominate on tunneled chips;
+    materialize() or gather_signatures() downloads)."""
+
     clip_numbers: list[int]
-    rgb: np.ndarray    # [K, B, 1024]
-    flow: np.ndarray   # [K, B, 1024]
+    rgb: "np.ndarray | jax.Array"   # [K, B, 1024]
+    flow: "np.ndarray | jax.Array"  # [K, B, 1024]
     splits: tuple[int, ...]
+
+    def materialize(self) -> "ClipSignatures":
+        return ClipSignatures(
+            self.clip_numbers,
+            np.asarray(self.rgb, np.float32),
+            np.asarray(self.flow, np.float32),
+            self.splits,
+        )
+
+
+def gather_signatures(sigs: list[ClipSignatures]) -> list[ClipSignatures]:
+    """Download a list of (possibly device-resident) signatures with ONE
+    device->host transfer instead of 2 per batch."""
+    device = [s for s in sigs if not isinstance(s.rgb, np.ndarray)]
+    if not device:
+        return sigs
+    flat = jnp.concatenate(
+        [jnp.stack([s.rgb, s.flow]).reshape(2, s.rgb.shape[0], -1)
+         for s in device],
+        axis=2,
+    )  # [2, K, sum(B)*1024]
+    host = np.asarray(flat, np.float32)
+    out = []
+    offset = 0
+    di = 0
+    for s in sigs:
+        if isinstance(s.rgb, np.ndarray):
+            out.append(s)
+            continue
+        k, b, d = s.rgb.shape
+        chunk = host[:, :, offset:offset + b * d].reshape(2, k, b, d)
+        out.append(ClipSignatures(s.clip_numbers, chunk[0], chunk[1], s.splits))
+        offset += b * d
+        di += 1
+    return out
 
 
 class Extractor:
@@ -215,14 +254,14 @@ class Extractor:
             self.flow_impl,
             self.flow_res_div,
         )
-        return ClipSignatures(
-            nums, np.asarray(rgb_emb, np.float32), np.asarray(flow_emb, np.float32),
-            self.tsn.rgb.splits,
-        )
+        # keep embeddings on device: callers batch the readback
+        # (gather_signatures) — each np.asarray here costs ~35 ms of tunnel
+        # readback per batch
+        return ClipSignatures(nums, rgb_emb, flow_emb, self.tsn.rgb.splits)
 
     def extract_video(self, path: str) -> list[ClipSignatures]:
         frames = decode.load_video(path)
-        return list(self.extract_frames(frames))
+        return gather_signatures(list(self.extract_frames(frames)))
 
     # -- reference-format CSV output (calcSig_wOF.py:116-134 layout) ---------
 
@@ -232,6 +271,7 @@ class Extractor:
                        weights_uri_fmt: str = "ucf101_split{split}_tsn_{stream}_bn_inception.npz",
                        ) -> list[str]:
         """One CSV per (split, stream) under <out>/<video>/<modelname>/."""
+        signatures = gather_signatures(signatures)
         paths = []
         for ki, split in enumerate(signatures[0].splits):
             d = os.path.join(out_dir, video, modelname_fmt.format(split=split))
@@ -252,6 +292,7 @@ class Extractor:
 
     def records(self, signatures: list[ClipSignatures],
                 clip_id_of: dict[int, int] | None = None) -> list[FeatureRecord]:
+        signatures = gather_signatures(signatures)
         out = []
         for sig in signatures:
             for ki, split in enumerate(sig.splits):
@@ -287,6 +328,10 @@ def main(argv=None) -> None:
     p.add_argument("--no-warp", action="store_true", help="plain (unwarped) TV-L1")
     p.add_argument("--ext", default="mp4")
     args = p.parse_args(argv)
+
+    from videoquery.core.jaxsetup import setup_jax
+
+    setup_jax()
 
     cfg = ExtractionConfig(fps=args.fps, clip_seconds=args.clip_time,
                            num_ticks=args.num_ticks, batch_clips=args.batch_clips)

@@ -79,6 +79,9 @@ class Broker:
 
 
 def main() -> None:
+    from videoquery.core.jaxsetup import setup_jax
+
+    setup_jax()
     config = BrokerConfig.from_env()
     setup_logging(config)
     broker = Broker(config)
