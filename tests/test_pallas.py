@@ -80,3 +80,58 @@ def test_pyramid_pallas_recovers_translation(rng):
     interior = (slice(0, 1), slice(12, -12), slice(12, -12))
     assert abs(float(jnp.median(u[interior])) - 2.0) < 0.8
     assert abs(float(jnp.median(v[interior])) + 1.0) < 0.8
+
+
+def test_fused_query_matches_local_query(rng):
+    """Fused streaming scoring kernel == the XLA local query, bit-exact
+    scores and identical top-k."""
+    import jax.numpy as jnp
+
+    from videoquery.kernels.query_pallas import fused_query_scores, fused_query_topk
+    from videoquery.search.distributed import _local_query
+
+    S, K, N, D, Q = 2, 3, 256, 128, 4
+    feats = jnp.asarray(rng.normal(size=(S, K, N, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((S, K, N)) > 0.25)
+    targets = jnp.asarray(rng.normal(size=(Q, S, K, D)) * 0.05, jnp.float32)
+    tmask = jnp.asarray(rng.random((Q, S, K)) > 0.1)
+    weights = jnp.ones((Q, S), jnp.float32).at[:, 1].set(1.5)
+
+    with pltpu.force_tpu_interpret_mode():
+        scores = np.asarray(fused_query_scores(feats, mask, targets, tmask,
+                                               weights, tile=128))
+        v, i = fused_query_topk(feats, mask, targets, tmask, weights,
+                                k=10, tile=128)
+    v_ref, i_ref = _local_query(feats, mask, targets, tmask, weights, k=10)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    vr = np.asarray(v_ref)
+    finite = np.isfinite(vr)
+    np.testing.assert_allclose(np.asarray(v)[finite], vr[finite],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_search_pallas_impl(rng):
+    """ShardedSearch(impl='pallas') returns the same results as the XLA
+    impl on the virtual CPU mesh (interpret mode)."""
+    from videoquery.core.meshes import make_mesh
+    from videoquery.index.store import FeatureIndex, FeatureRecord
+    from videoquery.search.distributed import ShardedSearch
+
+    streams = ("rgb", "warped_optical_flow")
+    records = [
+        FeatureRecord(cid * 3, s, k, "global_pool", rng.normal(size=16))
+        for cid in range(1, 65) for s in streams for k in (1, 2)
+    ]
+    index = FeatureIndex.build(records, streams, feature_dim=16,
+                               pad_multiple=1024)
+    mesh = make_mesh(model_parallel=1)
+    targets = [{s: {k: rng.normal(size=16).tolist() for k in (1, 2)}
+                for s in streams}]
+    weights = [{"rgb": 1.0, "warped_optical_flow": 1.5}]
+    vx, ix = ShardedSearch(index, mesh, impl="xla").query_dicts(
+        targets, weights, k=8)
+    with pltpu.force_tpu_interpret_mode():
+        vp, ip = ShardedSearch(index, mesh, impl="pallas").query_dicts(
+            targets, weights, k=8)
+    np.testing.assert_array_equal(ip, ix)
+    np.testing.assert_allclose(vp, vx, rtol=1e-5, atol=1e-6)

@@ -48,9 +48,24 @@ def _local_query(feats, mask, targets, tmask, weights, *, k):
     return jax.lax.top_k(scores, k)
 
 
-def _sharded_query(feats, mask, targets, tmask, weights, *, k):
+def _choose_tile(n: int) -> int:
+    for tile in (2048, 1024, 512, 256, 128):
+        if n % tile == 0:
+            return tile
+    raise ValueError(f"local shard size {n} not a multiple of 128")
+
+
+def _sharded_query(feats, mask, targets, tmask, weights, *, k,
+                   impl: str = "xla"):
     n_local = feats.shape[2]
-    vals, idx = _local_query(feats, mask, targets, tmask, weights, k=k)
+    if impl == "pallas":
+        from videoquery.kernels.query_pallas import fused_query_scores
+
+        scores = fused_query_scores(feats, mask, targets, tmask, weights,
+                                    tile=_choose_tile(n_local))
+        vals, idx = jax.lax.top_k(scores, k)
+    else:
+        vals, idx = _local_query(feats, mask, targets, tmask, weights, k=k)
     shard = jax.lax.axis_index(DATA_AXIS)
     gidx = idx + shard * n_local
     # Only [Q, k] crosses the wire per shard — never the [Q, N] scores.
@@ -66,10 +81,16 @@ def _sharded_query(feats, mask, targets, tmask, weights, *, k):
 
 
 class ShardedSearch:
-    """Batched multi-query top-k over a sharded FeatureIndex."""
+    """Batched multi-query top-k over a sharded FeatureIndex.
 
-    def __init__(self, index: FeatureIndex, mesh: Mesh):
+    impl="pallas" uses the fused streaming scoring kernel
+    (kernels/query_pallas.py) per shard — same speed as the XLA einsum at
+    the HBM-bandwidth ceiling, but with no [Q,S,K,n] intermediate, so more
+    index fits in HBM. impl="xla" (default) is fully portable."""
+
+    def __init__(self, index: FeatureIndex, mesh: Mesh, impl: str = "xla"):
         self.mesh = mesh
+        self.impl = impl
         n_shards = mesh.shape[DATA_AXIS]
         if index.n_padded % n_shards != 0:
             raise ValueError(
@@ -86,7 +107,7 @@ class ShardedSearch:
         if k not in self._fns:
             self._fns[k] = jax.jit(
                 jax.shard_map(
-                    functools.partial(_sharded_query, k=k),
+                    functools.partial(_sharded_query, k=k, impl=self.impl),
                     mesh=self.mesh,
                     in_specs=(
                         P(None, None, DATA_AXIS, None),  # feats
