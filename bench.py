@@ -138,9 +138,71 @@ def bench_query(n_segments: int = 1_000_000, dim: int = 1024, q: int = 16,
     return p50
 
 
+def bench_round(n_segments: int = 100_000, n_reviewed: int = 20,
+                repeats: int = 5) -> float:
+    """One full revise round (BASELINE config 4): similarity over the search
+    set + 40x30 grid optimization + rescoring + seeded selection. The
+    reference does this as Python loops (~40 rescoring passes over every
+    clip per round, SURVEY.md §3.1 hot loops)."""
+    import random as pyrandom
+
+    import jax
+    import jax.numpy as jnp
+
+    from videoquery.core.config import HyperParams
+    from videoquery.index.store import FeatureIndex
+    from videoquery.search.engine import SearchEngine
+    from videoquery.search.selection import select_clips_to_review
+
+    rng = np.random.default_rng(0)
+    hp = HyperParams()
+    streams, splits, d = hp.streams, (1, 2, 3), 1024
+
+    log(f"[round] building {n_segments}-segment search set on device")
+    idx_feats = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(0), (2, 3, n_segments, d), jnp.float32) * 0.03)()
+    index = FeatureIndex.__new__(FeatureIndex)
+    index.clip_ids = np.arange(1, n_segments + 1, dtype=np.int64)
+    index.feats = idx_feats
+    index.mask = jnp.ones((2, 3, n_segments), bool)
+    index.streams = tuple(streams)
+    index.splits = splits
+    index.feature_name = hp.feature_name
+    index._id_to_pos = None  # positions == id-1 for this bench
+    index.position = lambda cid: int(cid) - 1
+    index.host_feats = None
+    index.host_mask = None
+
+    target = {s: {k: (rng.normal(size=d) * 0.03).tolist() for k in splits}
+              for s in streams}
+    engine = SearchEngine(index)
+    reviewed_ids = rng.choice(n_segments, n_reviewed, replace=False) + 1
+    labels = {int(c): float(rng.integers(0, 2)) for c in reviewed_ids}
+
+    def one_round():
+        table = engine.compute_similarities(target)
+        hp_round, _ = table.optimize(labels, hp)
+        scores = table.scores(hp_round.weights)
+        return select_clips_to_review(scores, {}, 1, hp_round.threshold, 20,
+                                      hp.near_miss_default,
+                                      rng=pyrandom.Random(42))
+
+    one_round()  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        matches = one_round()
+        times.append(time.time() - t0)
+    p50 = float(np.median(times)) * 1000
+    log(f"[round] full revise round over {n_segments} segments: p50 {p50:.0f} ms "
+        f"({len(matches)} matches selected)")
+    return p50
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="both", choices=["extract", "query", "both"])
+    ap.add_argument("--mode", default="both",
+                    choices=["extract", "query", "round", "both"])
     ap.add_argument("--segments", type=int, default=1_000_000)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--batch_clips", type=int, default=4)
@@ -153,6 +215,15 @@ def main():
                                 batch_clips=args.batch_clips)
     if args.mode in ("query", "both"):
         p50 = bench_query(n_segments=args.segments)
+    if args.mode == "round":
+        r50 = bench_round()
+        print(json.dumps({
+            "metric": "revise_round_p50_over_100k_segments",
+            "value": round(r50, 1),
+            "unit": "ms",
+            "vs_baseline": round(5000.0 / r50, 3),  # vs the 5 s poll period
+        }))
+        return
 
     if rate is not None:
         print(json.dumps({

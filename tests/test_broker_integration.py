@@ -216,3 +216,52 @@ def test_seeded_rounds_reproducible(fixture_api_template):
         )
 
     assert run(7) == run(7)
+
+
+def test_search_set_cache_reuses_index(fixture_api_template):
+    """Repeated rounds over the same search set must not refetch features
+    when a SearchSetCache is supplied."""
+    from videoquery.service.compute_matches import SearchSetCache
+
+    api, videos, clip_ids = fixture_api_template
+    query = fresh_query(api, videos, clip_ids)
+    repo = make_repo(api)
+    cache = SearchSetCache(ttl_seconds=3600)
+
+    calls = {"n": 0}
+    orig = FakeAPI._a_search_set_features
+
+    def counting(self, params):
+        calls["n"] += 1
+        return orig(self, params)
+
+    FakeAPI._a_search_set_features = counting
+    try:
+        compute_matches(repo, HyperParams(), rng=random.Random(0), exact=True,
+                        index_cache=cache)
+        api.request_revision(query["id"])
+        compute_matches(repo, HyperParams(), rng=random.Random(0), exact=True,
+                        index_cache=cache)
+    finally:
+        FakeAPI._a_search_set_features = orig
+    assert api.queries[query["id"]]["process_state"] == STATE_PROCESSED
+    assert calls["n"] == 1  # second round served from the cache
+
+
+def test_zero_matches_sets_error_state(fixture_api_template):
+    """A threshold no clip can reach -> state 5 with the no-matches note
+    (compute_matches.py:110-114). The reference clip must be OUTSIDE the
+    search set (selection always re-adds an in-set ref clip,
+    ticket.py:346-349)."""
+    api, videos, clip_ids = fixture_api_template
+    video = next(iter(videos.values()))
+    vname = next(iter(videos))
+    ref_clip_id = clip_ids[(vname, 1)]
+    others = [cid for key, cid in clip_ids.items() if cid != ref_clip_id]
+    search = api.add_search_set("no-ref", others)
+    query = api.add_query("zero", video["id"], 1, ref_clip_id, search["id"])
+    hp = HyperParams(default_threshold=1.5, near_miss_default=0.0)
+    compute_matches(make_repo(api), hp, rng=random.Random(0), exact=True)
+    q = api.queries[query["id"]]
+    assert q["process_state"] == STATE_ERROR
+    assert "No matches were found" in q["notes"]

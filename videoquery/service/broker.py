@@ -18,7 +18,7 @@ from datetime import datetime
 
 from videoquery.core.config import BrokerConfig, default_hyperparams, random_seed
 from videoquery.service.client import ActionClient, HTTPTransport
-from videoquery.service.compute_matches import compute_matches
+from videoquery.service.compute_matches import SearchSetCache, compute_matches
 from videoquery.service.repository import APIRepository
 
 log = logging.getLogger(__name__)
@@ -49,6 +49,7 @@ class Broker:
         self.client = client or ActionClient(HTTPTransport(self.config.base_url))
         self.repository = APIRepository(self.client, self.config.base_url)
         self.exact = exact
+        self.index_cache = SearchSetCache()
         self._stop = threading.Event()
 
     def run_once(self) -> None:
@@ -63,6 +64,7 @@ class Broker:
                 rng=rng,
                 report_dir=self.config.report_dir,
                 exact=self.exact,
+                index_cache=self.index_cache,
             )
         except Exception as exc:
             log.error("%s", exc, exc_info=True)

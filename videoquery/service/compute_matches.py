@@ -35,6 +35,35 @@ from videoquery.service.ticket import Ticket
 log = logging.getLogger(__name__)
 
 
+class SearchSetCache:
+    """Device-resident index cache keyed by search-set id.
+
+    The reference refetches and re-parses the ENTIRE search set's features
+    from the API on every round of every query (ticket.py:358-382 — the
+    dominant cost of a revise round at scale). Rounds of the same query (and
+    different queries over the same search set) reuse the device index; a
+    TTL bounds staleness for search sets that grow between rounds."""
+
+    def __init__(self, ttl_seconds: float = 300.0, max_entries: int = 4):
+        self.ttl = ttl_seconds
+        self.max_entries = max_entries
+        self._entries: dict[tuple, tuple[float, FeatureIndex]] = {}
+
+    def get(self, key: tuple, build) -> FeatureIndex:
+        import time
+
+        now = time.monotonic()
+        hit = self._entries.get(key)
+        if hit is not None and now - hit[0] < self.ttl:
+            return hit[1]
+        index = build()
+        if len(self._entries) >= self.max_entries:
+            oldest = min(self._entries, key=lambda k: self._entries[k][0])
+            del self._entries[oldest]
+        self._entries[key] = (now, index)
+        return index
+
+
 def compute_matches(
     query_updates: APIRepository,
     hyperparameters: HyperParams,
@@ -42,11 +71,13 @@ def compute_matches(
     rng: random.Random | None = None,
     report_dir: str = "final_reports",
     exact: bool = False,
+    index_cache: SearchSetCache | None = None,
 ) -> None:
     """Process every pending job this poll (reference compute_matches.py:8).
 
     exact=True runs the float64 host similarity path (reference-parity
-    numerics); default is the f32 device path.
+    numerics); default is the f32 device path. index_cache (optional)
+    reuses device indexes across rounds of the same search set.
     """
     updates_needed = query_updates.get_status()
     if updates_needed is None:
@@ -66,7 +97,7 @@ def compute_matches(
             ticket.add_note(error_message)
 
         process_job(ticket, update_type, update_object, hyperparameters,
-                    rng=rng, exact=exact)
+                    rng=rng, exact=exact, index_cache=index_cache)
 
 
 def process_job(
@@ -77,6 +108,7 @@ def process_job(
     *,
     rng: random.Random | None = None,
     exact: bool = False,
+    index_cache: SearchSetCache | None = None,
 ) -> None:
     # -- target estimation (reference compute_matches.py:55-56) --------------
     ref_features, ref_splits = ticket.clip_features(ticket.ref_clip_id, hp)
@@ -99,14 +131,22 @@ def process_job(
     )
 
     # -- one similarity program over the search set (ticket.py:120-163) -------
-    records = ticket.candidate_feature_records(hp)
-    # Pad the clip axis to a coarse multiple so XLA compiles one program per
-    # size bucket instead of one per exact search-set size (first compile on
-    # a TPU costs tens of seconds; observed 83 s over a tunneled chip).
-    index = FeatureIndex.build(
-        records, hp.streams, splits=sorted(ref_splits),
-        keep_host=exact, pad_multiple=512,
-    )
+    def build_index() -> FeatureIndex:
+        records = ticket.candidate_feature_records(hp)
+        # Pad the clip axis to a coarse multiple so XLA compiles one program
+        # per size bucket instead of one per exact search-set size (first
+        # compile on a TPU costs tens of seconds over a tunneled chip).
+        return FeatureIndex.build(
+            records, hp.streams, splits=sorted(ref_splits),
+            keep_host=exact, pad_multiple=512,
+        )
+
+    if index_cache is not None:
+        key = (ticket.search_set, tuple(hp.streams), tuple(sorted(ref_splits)),
+               hp.feature_name, exact)
+        index = index_cache.get(key, build_index)
+    else:
+        index = build_index()
     table = SearchEngine(index, exact=exact).compute_similarities(
         ticket.target_features
     )
