@@ -73,3 +73,37 @@ def affine_to_warp(A: jax.Array, h: int, w: int) -> jax.Array:
 
 
 estimate_affine_batch = jax.vmap(estimate_affine)
+
+
+def global_translation(
+    c0: jax.Array,  # [N, H, W] coarse grayscale
+    c1: jax.Array,
+    max_shift: int = 12,
+) -> jax.Array:
+    """Integer global translation per pair via zero-mean cross-correlation,
+    computed as ONE depthwise convolution on the MXU (robust to any pan size
+    up to max_shift at this resolution — the piece iterative TV-L1 struggles
+    with). Returns i32 [N, 2] (dx, dy): c1 shifted by -t aligns with c0."""
+    n, h, w = c0.shape
+    a = c0 - c0.mean(axis=(1, 2), keepdims=True)
+    b = c1 - c1.mean(axis=(1, 2), keepdims=True)
+    # kernel: interior of b; slide over a -> [1, N, 2m+1, 2m+1]
+    m = max_shift
+    kern = b[:, m:h - m, m:w - m][:, None]               # [N, 1, h-2m, w-2m]
+    corr = jax.lax.conv_general_dilated(
+        a[None],                                          # [1, N, H, W]
+        kern,
+        window_strides=(1, 1),
+        padding="VALID",
+        feature_group_count=n,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )[0]                                                  # [N, 2m+1, 2m+1]
+    flat = corr.reshape(n, -1)
+    idx = jnp.argmax(flat, axis=1)
+    # correlation peak at offset (dy, dx) means b's interior matches a at
+    # position (dy, dx); zero shift corresponds to (m, m)
+    dy = idx // (2 * m + 1) - m
+    dx = idx % (2 * m + 1) - m
+    # a[y + m + dy', x + ...]: b(y) matches a(y + dy) => flow c0->c1 is -d
+    return jnp.stack([-dx, -dy], axis=1).astype(jnp.int32)

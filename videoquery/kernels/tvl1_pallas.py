@@ -316,12 +316,15 @@ def tvl1_flow_pallas(
     for i in range(1, len(shapes)):
         pyr0.append(_resize2(pyr0[-1], shapes[i]))
         pyr1.append(_resize2(pyr1[-1], shapes[i]))
+    import dataclasses as _dc
+
     n = I0.shape[0]
     u = jnp.zeros((n,) + shapes[-1], jnp.float32)
     v = jnp.zeros((n,) + shapes[-1], jnp.float32)
     for i in reversed(range(len(shapes))):
         d = max(2, round(max_disp * p.scale_step ** i))
-        u, v = tvl1_level_pallas(pyr0[i], pyr1[i], u, v, p, d)
+        p_level = _dc.replace(p, n_warps=p.warps_at_level(i))
+        u, v = tvl1_level_pallas(pyr0[i], pyr1[i], u, v, p_level, d)
         if i > 0:
             inv = 1.0 / p.scale_step
             u = _resize2(u, shapes[i - 1]) * inv
@@ -337,20 +340,35 @@ def tvl1_warped_flow_pallas(
     max_disp: int = 8,
     coarse_hw: tuple[int, int] = (64, 96),
 ) -> tuple[jax.Array, jax.Array]:
-    """Warped (camera-motion-compensated) variant on the Pallas path. The
-    global-motion pass reuses the Pallas solver at coarse resolution; the
-    compensation warp is integer-roll translation + a small Pallas window
-    warp for the affine residual — no gathers anywhere (a gather-based
-    affine resample tripled total flow cost on this chip)."""
-    from videoquery.kernels.motion import estimate_affine_batch
+    """Warped (camera-motion-compensated) variant on the Pallas path.
 
-    coarse = TVL1Params(n_scales=3, n_warps=3, n_iters=20,
-                        scale_step=p.scale_step)
+    Global motion = integer translation from one MXU cross-correlation
+    (robust to pans of ANY size up to the correlation window — iterative
+    TV-L1 alone under-converges on large pans over weak texture) + an
+    affine fit (IRLS) on a small residual TV-L1 pass over the
+    translation-compensated pair. The compensation warp is integer-roll
+    translation + a small Pallas window warp for the affine residual — no
+    gathers anywhere (a gather-based affine resample tripled total flow
+    cost on this chip at ~50 ns/index)."""
+    from videoquery.kernels.motion import estimate_affine_batch, global_translation
+
     c0 = _resize2(I0, coarse_hw)
     c1 = _resize2(I1, coarse_hw)
-    cu, cv = tvl1_flow_pallas(c0, c1, coarse, max_disp=max_disp)
     sx = I0.shape[2] / coarse_hw[1]
     sy = I0.shape[1] / coarse_hw[0]
-    A = estimate_affine_batch(cu * sx, cv * sy)
+    t = global_translation(c0, c1, max_shift=12)          # i32 [N, 2] (u, v)
+
+    def roll_one(im, ti):
+        # compensate: sample c1 at x + t  ==  roll contents left/up by t
+        return jnp.roll(jnp.roll(im, -ti[1], axis=0), -ti[0], axis=1)
+
+    c1t = jax.vmap(roll_one)(c1, t)
+    coarse = TVL1Params(n_scales=2, n_warps=2, n_iters=15,
+                        scale_step=p.scale_step)
+    cu, cv = tvl1_flow_pallas(c0, c1t, coarse, max_disp=4)
+    # total coarse-res flow = residual + integer translation; fit the affine
+    # in full-res pixels
+    A = estimate_affine_batch((cu + t[:, 0, None, None]) * sx,
+                              (cv + t[:, 1, None, None]) * sy)
     i1w = _affine_warp_rollwindow(I1, A, d=4)
     return tvl1_flow_pallas(I0, i1w, p, max_disp=max_disp)

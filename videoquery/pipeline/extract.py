@@ -327,6 +327,15 @@ def main(argv=None) -> None:
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--no-warp", action="store_true", help="plain (unwarped) TV-L1")
     p.add_argument("--ext", default="mp4")
+    # reference-CLI parity flags (calcSig_wOF.py:156-177, build_wof_clips.py:133-150)
+    p.add_argument("--featureBlob", default="global_pool",
+                   help="feature blob name recorded in the CSVs")
+    p.add_argument("--modelname", default="UCF101_split{split}",
+                   help="per-split model dir name template")
+    p.add_argument("--new_width", type=int, default=0, help="decode resize width")
+    p.add_argument("--new_height", type=int, default=0, help="decode resize height")
+    p.add_argument("--flow_res_div", type=int, default=2,
+                   help="compute flow at frame_res/div (speed/quality knob)")
     args = p.parse_args(argv)
 
     from videoquery.core.jaxsetup import setup_jax
@@ -334,7 +343,9 @@ def main(argv=None) -> None:
     setup_jax()
 
     cfg = ExtractionConfig(fps=args.fps, clip_seconds=args.clip_time,
-                           num_ticks=args.num_ticks, batch_clips=args.batch_clips)
+                           num_ticks=args.num_ticks, batch_clips=args.batch_clips,
+                           feature_blob=args.featureBlob,
+                           flow_res_div=args.flow_res_div)
 
     # resolve inputs BEFORE building the model: TSN construction costs tens
     # of seconds on a tunneled TPU and a bad path should fail immediately
@@ -371,14 +382,22 @@ def main(argv=None) -> None:
         log.warning("no --weights: using random-initialized TSN (pipeline demo)")
         tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), tuple(args.splits))
 
+    new_size = None
+    if args.new_width or args.new_height:
+        if not (args.new_width and args.new_height):
+            raise SystemExit("--new_width and --new_height must be set together")
+        new_size = (args.new_width, args.new_height)
+
     ex = Extractor(tsn, cfg, warped=not args.no_warp, dtype=args.dtype)
     for vid in videos:
         name = os.path.splitext(os.path.basename(vid))[0]
         t0 = time.time()
-        sigs = ex.extract_video(vid)
+        frames = decode.load_video(vid, new_size=new_size)
+        sigs = gather_signatures(list(ex.extract_frames(frames)))
         n_clips = sum(len(s.clip_numbers) for s in sigs)
         dt = time.time() - t0
-        ex.write_csv_tree(sigs, args.out, name, vid)
+        ex.write_csv_tree(sigs, args.out, name, vid,
+                          modelname_fmt=args.modelname)
         log.info("%s: %d clips in %.1fs (%.2f clips/s)", name, n_clips, dt,
                  n_clips / dt)
         print(f"{name}: {n_clips} clips in {dt:.1f}s ({n_clips/dt:.2f} clips/s)")
