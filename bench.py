@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -138,6 +139,44 @@ def bench_query(n_segments: int = 1_000_000, dim: int = 1024, q: int = 16,
     return p50
 
 
+def bench_ingest(n_videos: int = 50, clips_per_video: int = 100,
+                 dim: int = 1024) -> float:
+    """BASELINE config 3: UCF101-scale CSV ingest. Generates a synthetic
+    feature-CSV tree (6 CSVs per video: 2 streams x 3 splits) and measures
+    end-to-end parse+index build (native C++ parser when available)."""
+    import shutil
+    import tempfile
+
+    from videoquery.index.csvio import write_features_csv
+    from videoquery.service.loader import load_index
+
+    rng = np.random.default_rng(0)
+    root = tempfile.mkdtemp(prefix="vq_ingest_")
+    try:
+        log(f"[ingest] generating {n_videos} videos x {clips_per_video} clips "
+            f"x 6 CSVs ({n_videos*clips_per_video*6} rows of {dim}-d)")
+        for vi in range(n_videos):
+            vecs = rng.normal(size=(clips_per_video, dim))
+            for split in (1, 2, 3):
+                d = os.path.join(root, f"vid{vi:03d}", f"UCF101_split{split}")
+                os.makedirs(d)
+                for stream in ("rgb", "warped_optical_flow"):
+                    write_features_csv(
+                        os.path.join(d, f"{stream}_global_pool_features.csv"),
+                        f"vid{vi:03d}", "u/", stream, "global_pool", "m",
+                        [(i + 1, vecs[i]) for i in range(clips_per_video)],
+                    )
+        t0 = time.time()
+        index = load_index(root, feature_dim=dim)
+        dt = time.time() - t0
+        rows = n_videos * clips_per_video * 6
+        log(f"[ingest] {rows} rows -> {index.n_clips} clips in {dt:.1f}s "
+            f"({rows/dt:.0f} rows/s)")
+        return rows / dt
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_round(n_segments: int = 100_000, n_reviewed: int = 20,
                 repeats: int = 5) -> float:
     """One full revise round (BASELINE config 4): similarity over the search
@@ -202,7 +241,7 @@ def bench_round(n_segments: int = 100_000, n_reviewed: int = 20,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="both",
-                    choices=["extract", "query", "round", "both"])
+                    choices=["extract", "query", "round", "ingest", "both"])
     ap.add_argument("--segments", type=int, default=1_000_000)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--batch_clips", type=int, default=4)
@@ -215,6 +254,15 @@ def main():
                                 batch_clips=args.batch_clips)
     if args.mode in ("query", "both"):
         p50 = bench_query(n_segments=args.segments)
+    if args.mode == "ingest":
+        rows_per_s = bench_ingest()
+        print(json.dumps({
+            "metric": "csv_ingest_rows_per_sec",
+            "value": round(rows_per_s, 1),
+            "unit": "rows/s",
+            "vs_baseline": None,
+        }))
+        return
     if args.mode == "round":
         r50 = bench_round()
         print(json.dumps({

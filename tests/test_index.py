@@ -101,3 +101,54 @@ def test_reference_fixture_reserializes_rows(tmp_path):
     again = read_features_csv(path)
     np.testing.assert_array_equal(again.clip_numbers, csvf.clip_numbers)
     np.testing.assert_array_equal(again.features, csvf.features)
+
+
+def test_binary_shard_roundtrip(tmp_path, rng):
+    """Index -> .vqidx shards -> index, across shard boundaries."""
+    from videoquery.index.persist import load_index_binary, save_index
+
+    records = [
+        FeatureRecord(cid, s, k, "global_pool", rng.normal(size=16))
+        for cid in range(1, 101)
+        for s in ("rgb", "warped_optical_flow")
+        for k in (1, 2)
+    ]
+    index = FeatureIndex.build(records, ("rgb", "warped_optical_flow"),
+                               feature_dim=16, pad_multiple=8)
+    paths = save_index(index, str(tmp_path / "idx"), shard_clips=32)
+    assert len(paths) == 4  # 100 clips / 32 per shard
+    back = load_index_binary(str(tmp_path / "idx"), pad_multiple=8)
+    assert back.n_clips == index.n_clips
+    assert back.streams == index.streams
+    assert back.splits == index.splits
+    np.testing.assert_array_equal(back.clip_ids, index.clip_ids)
+    n = index.n_clips
+    np.testing.assert_array_equal(
+        np.asarray(back.feats)[:, :, :n], np.asarray(index.feats)[:, :, :n])
+    np.testing.assert_array_equal(
+        np.asarray(back.mask)[:, :, :n], np.asarray(index.mask)[:, :, :n])
+
+
+def test_binary_shard_query_equivalence(tmp_path, rng):
+    """A query over the reloaded shards matches the original index."""
+    from videoquery.index.persist import load_index_binary, save_index
+    from videoquery.search.engine import SearchEngine
+
+    records = [
+        FeatureRecord(cid, s, k, "global_pool", rng.normal(size=16))
+        for cid in range(1, 41)
+        for s in ("rgb", "warped_optical_flow")
+        for k in (1,)
+    ]
+    index = FeatureIndex.build(records, ("rgb", "warped_optical_flow"),
+                               feature_dim=16)
+    save_index(index, str(tmp_path / "idx"), shard_clips=16)
+    back = load_index_binary(str(tmp_path / "idx"))
+    target = {s: {1: rng.normal(size=16).tolist()}
+              for s in ("rgb", "warped_optical_flow")}
+    w = {"rgb": 1.0, "warped_optical_flow": 1.5}
+    s1 = SearchEngine(index).compute_similarities(target).scores(w)
+    s2 = SearchEngine(back).compute_similarities(target).scores(w)
+    assert s1.keys() == s2.keys()
+    for c in s1:
+        np.testing.assert_allclose(s1[c], s2[c], rtol=1e-6)

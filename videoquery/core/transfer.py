@@ -10,7 +10,6 @@ device inside a single jitted program.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -56,13 +56,13 @@ def write_features_csv(
             fout.write(str(int(clip_no)) + "," + ",".join(map(str, np.asarray(vec).tolist())) + "\n")
 
 
-def read_features_csv(path: str) -> FeatureCSV:
+def read_features_csv(path: str, n_threads: int | None = None) -> FeatureCSV:
     """Parse one feature CSV, header fields split on '=' exactly like the
     reference loader (api_load_records.py:48-54)."""
     try:
         from videoquery.index import _native_csv
 
-        parsed = _native_csv.parse(path)
+        parsed = _native_csv.parse(path, n_threads)
         if parsed is not None:
             header_fields, clips, feats = parsed
             return _feature_csv_from_parts(header_fields, clips, feats)
@@ -93,6 +93,39 @@ def _feature_csv_from_parts(header_fields, clips, feats) -> FeatureCSV:
         clip_numbers=np.asarray(clips, np.int64),
         features=np.asarray(feats, np.float64),
     )
+
+
+def list_feature_tree(root: str) -> list[tuple[str, int, str]]:
+    """(video, split, csv_path) entries of a feature tree, sorted."""
+    out = []
+    for video_dir in sorted(os.scandir(root), key=lambda e: e.name):
+        if not video_dir.is_dir():
+            continue
+        for split_dir in sorted(os.scandir(video_dir.path), key=lambda e: e.name):
+            if not split_dir.is_dir():
+                continue
+            split = int(split_dir.name[-1])
+            for entry in sorted(os.scandir(split_dir.path), key=lambda e: e.name):
+                if (entry.is_file() and entry.name.endswith(".csv")
+                        and not entry.name.startswith(".")):
+                    out.append((video_dir.name, split, entry.path))
+    return out
+
+
+def read_feature_tree_parallel(
+    root: str, workers: int = 8
+) -> list[tuple[str, int, FeatureCSV]]:
+    """Parallel tree read: the native parser releases the GIL during the C
+    call, so a thread pool over files scales with cores."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    entries = list_feature_tree(root)
+    # one parser thread per file: the pool provides the parallelism (nesting
+    # the native parser's own threads on top thrashes the cores)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        parsed = list(pool.map(lambda e: read_features_csv(e[2], n_threads=1),
+                               entries))
+    return [(v, s, csvf) for (v, s, _p), csvf in zip(entries, parsed)]
 
 
 def read_feature_tree(root: str) -> Iterator[tuple[str, int, FeatureCSV]]:

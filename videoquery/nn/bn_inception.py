@@ -29,7 +29,7 @@ calcSig_wOF.py:184).
 from __future__ import annotations
 
 import math
-from typing import Any, Mapping
+from typing import Mapping
 
 import jax
 import jax.numpy as jnp

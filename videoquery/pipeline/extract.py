@@ -38,7 +38,6 @@ from videoquery.pipeline.preprocess import (
     preprocess_flow,
     preprocess_rgb,
     quantize_flow,
-    dequantize_flow,
 )
 from videoquery.pipeline.sampling import clip_ranges, frame_ticks
 

@@ -111,13 +111,16 @@ class DBLoader:
 
 
 def load_index(src_dir: str, hp: HyperParams | None = None,
-               **build_kwargs) -> FeatureIndex:
+               workers: int = 8, **build_kwargs) -> FeatureIndex:
     """API-free fast path: build a device FeatureIndex straight from a
-    feature-CSV tree, assigning synthetic clip ids in (video, clip) order."""
+    feature-CSV tree, assigning synthetic clip ids in (video, clip) order.
+    CSVs parse in parallel (the native parser releases the GIL)."""
+    from videoquery.index.csvio import read_feature_tree_parallel
+
     hp = hp or HyperParams()
     records = []
     clip_key_to_id: dict[tuple[str, int], int] = {}
-    for video_name, split, csvf in read_feature_tree(src_dir):
+    for video_name, split, csvf in read_feature_tree_parallel(src_dir, workers):
         for clip_no, vec in zip(csvf.clip_numbers, csvf.features):
             key = (video_name, int(clip_no))
             if key not in clip_key_to_id:
@@ -146,7 +149,23 @@ def main(argv=None) -> None:
     parser.add_argument("--video_path_type", default="absolute",
                         choices=["absolute", "relative"])
     parser.add_argument("--base_url", default="http://127.0.0.1:8000/")
+    parser.add_argument("--shard_out", default=None,
+                        help="also write binary .vqidx embedding shards here "
+                             "(the production index format; no API needed "
+                             "when used with --no_api)")
+    parser.add_argument("--no_api", action="store_true",
+                        help="skip the REST ingest; only build local shards")
     args = parser.parse_args(argv)
+    if args.shard_out:
+        from videoquery.index.persist import save_index
+
+        index = load_index(args.src_dir)
+        paths = save_index(index, args.shard_out)
+        log.info("wrote %d embedding shard(s) for %d clips to %s",
+                 len(paths), index.n_clips, args.shard_out)
+        print(f"wrote {len(paths)} shard(s), {index.n_clips} clips -> {args.shard_out}")
+    if args.no_api:
+        return
     loader = DBLoader(ActionClient(HTTPTransport(args.base_url)))
     n = loader.load_tree(args.src_dir, args.duration, args.video_path_type)
     log.info("loaded %d feature rows", n)
