@@ -204,7 +204,7 @@ class Extractor:
         self.cfg = cfg or ExtractionConfig()
         self.warped = warped
         self.dtype = dtype
-        self.tvl1 = tvl1 or TVL1Params()
+        self.tvl1 = tvl1 or TVL1Params(fine_warps=2)
         self.flow_impl = flow_impl or default_flow_impl()
         self.flow_res_div = self.cfg.flow_res_div
 
