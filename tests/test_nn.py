@@ -234,3 +234,44 @@ def test_convert_synthetic_full_net(tmp_path, rng):
     out = bn_inception.forward(jax.tree.map(jnp.asarray, params), x)
     assert out["global_pool"].shape == (1, 1024)
     assert np.isfinite(np.asarray(out["fc-action"])).all()
+
+
+REF_PROTO = ("/root/reference/src/features_GPU_compute/models/ucf101/"
+             "tsn_bn_inception_{}_deploy.prototxt")
+
+
+@pytest.mark.parametrize("stream,cin", [("rgb", 3), ("flow", 10)])
+def test_prototxt_matches_transcribed_architecture(stream, cin):
+    """The transcribed INCEPTION_BLOCKS spec must match the actual reference
+    deploy prototxt conv-by-conv (guards against transcription drift)."""
+    import os
+
+    path = REF_PROTO.format(stream)
+    if not os.path.exists(path):
+        pytest.skip("reference prototxt unavailable")
+    from videoquery.nn.prototxt import load_net
+
+    net = load_net(path)
+    assert net["input_dim"] == [1, cin, 224, 224]
+    proto_convs = {}
+    for layer in net["layer"]:
+        if layer["type"] == "Convolution":
+            p = layer["convolution_param"]
+            proto_convs[layer["name"]] = (
+                p.get("kernel_size", 1), p.get("pad", 0), p.get("stride", 1),
+                p["num_output"],
+            )
+    ours = {
+        name: (k, pad, stride, cout)
+        for name, k, pad, stride, cin_, cout in
+        bn_inception._conv_names(in_channels=cin)
+    }
+    assert set(proto_convs) == set(ours)
+    for name in proto_convs:
+        assert proto_convs[name] == ours[name], name
+    # every conv has a frozen BN companion
+    bn_layers = {l["name"] for l in net["layer"] if l["type"] == "BN"}
+    for name in proto_convs:
+        assert name + "_bn" in bn_layers
+        bn = next(l for l in net["layer"] if l["name"] == name + "_bn")
+        assert bn["bn_param"]["frozen"] is True

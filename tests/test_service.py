@@ -96,3 +96,37 @@ def test_load_index_fast_path(tmp_path, rng):
     assert idx.n_clips == 6
     assert idx.splits == (1, 2)
     assert np.asarray(idx.mask).sum() == 2 * 2 * 2 * 3
+
+
+def test_authenticate_posts_env_credentials(monkeypatch):
+    """Token auth from env creds (authenticate.py:6-24 contract)."""
+    from videoquery.service.client import authenticate
+
+    monkeypatch.setenv("API_CLIENT_USERNAME", "alice")
+    monkeypatch.setenv("API_CLIENT_PASSWORD", "s3cret")
+
+    calls = {}
+
+    class FakeSession:
+        def post(self, url, data=None):
+            calls["url"] = url
+            calls["data"] = data
+
+            class R:
+                @staticmethod
+                def json():
+                    return {"token": "tok123"}
+
+            return R()
+
+    token = authenticate("http://api:8000/", session=FakeSession())
+    assert token == "tok123"
+    assert calls["url"] == "http://api:8000/api-token-auth/"
+    assert calls["data"] == {"username": "alice", "password": "s3cret"}
+
+
+def test_authenticate_failure_returns_none(monkeypatch):
+    from videoquery.service.client import authenticate
+
+    monkeypatch.delenv("API_CLIENT_USERNAME", raising=False)
+    assert authenticate("http://api:8000/", session=object()) is None
