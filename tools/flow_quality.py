@@ -1,0 +1,136 @@
+"""Flow quality harness: does the production flow config change retrieval?
+
+Generates a synthetic corpus of clips with distinct motion signatures
+(different object velocities + camera pans over textured backgrounds),
+extracts two-stream embeddings under (a) the reference-style flow — XLA
+gather-warp TV-L1 at full resolution, the faithful baseline implementation —
+and (b) the production Pallas config (half-res, window warp, fine-warp
+schedule), then compares per-clip embedding cosines and retrieval rankings.
+
+Run: python tools/flow_quality.py  (uses the real TPU; ~2-4 min)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+MOTION_CLASSES = [  # (object velocity, camera pan) — strongly distinct
+    ((4.0, 0.0), (0.0, 0.0)),    # fast right
+    ((-4.0, 0.0), (0.0, 0.0)),   # fast left
+    ((0.0, 3.0), (0.0, 0.0)),    # down
+    ((0.0, -3.0), (0.0, 0.0)),   # up
+    ((0.0, 0.0), (0.0, 0.0)),    # static
+    ((2.5, 2.5), (1.5, 0.0)),    # diagonal + pan (tests compensation)
+]
+
+
+def make_corpus(frames=30, h=128, w=176, seed=0):
+    """Two clips per motion class (different textures/objects, same motion):
+    the retrieval metric is whether each clip's nearest flow-neighbor is its
+    motion partner."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    clips, labels = [], []
+    for ci, (obj_v, pan) in enumerate(MOTION_CLASSES):
+        for rep in range(2):
+            base = rng.integers(0, 255, (h * 2, w * 2, 3), np.uint8)
+            base = cv2.GaussianBlur(base, (11, 11), 3)
+            obj = rng.integers(0, 255, (28, 28, 3), np.uint8)
+            obj_xy = np.array([w * 0.25, h * 0.25]) + rng.uniform(0, 15, 2)
+            fr = []
+            for t in range(frames):
+                ox = int(t * pan[0]) % w
+                oy = int(t * pan[1]) % h
+                f = base[oy:oy + h, ox:ox + w].copy()
+                px = int(obj_xy[0] + t * obj_v[0]) % (w - 28)
+                py = int(obj_xy[1] + t * obj_v[1]) % (h - 28)
+                f[py:py + 28, px:px + 28] = obj
+                fr.append(f)
+            clips.append(np.stack(fr))
+            labels.append(ci)
+    return np.stack(clips), np.asarray(labels)  # [C, F, H, W, 3], [C]
+
+
+def extract(clips, flow_impl, tvl1, flow_res_div, tsn):
+    import jax.numpy as jnp
+
+    from videoquery.pipeline.extract import _extract_step
+    from videoquery.pipeline.sampling import frame_ticks
+
+    c, f = clips.shape[:2]
+    ticks = jnp.asarray(frame_ticks(f, 9, 1) - 1, jnp.int32)
+    tflow = frame_ticks(f, 9, 5)
+    sidx = jnp.asarray(
+        np.minimum(tflow[:, None] + np.arange(5)[None, :], f) - 1, jnp.int32)
+    rgb, flow = _extract_step(
+        tsn.rgb.stacked_params, tsn.flow.stacked_params,
+        jnp.asarray(clips), ticks, sidx, 20.0, True, tvl1,
+        (340, 256), 224, "float32", flow_impl, flow_res_div,
+    )
+    return np.asarray(rgb, np.float64), np.asarray(flow, np.float64)
+
+
+def cosine(a, b):
+    return (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                              * np.linalg.norm(b, axis=-1) + 1e-12)
+
+
+def ranking(emb):  # [K, C, D] -> per-clip neighbor order by mean-split cosine
+    e = emb.mean(axis=0)
+    sims = cosine(e[:, None], e[None, :])
+    return np.argsort(-sims, axis=1)
+
+
+def partner_accuracy(emb, labels):
+    """Fraction of clips whose nearest flow-neighbor shares their motion
+    class (each class has exactly one partner)."""
+    e = emb.mean(axis=0)
+    sims = cosine(e[:, None], e[None, :])
+    np.fill_diagonal(sims, -np.inf)
+    nn = sims.argmax(axis=1)
+    return float((labels[nn] == labels).mean())
+
+
+def main():
+    import jax
+
+    from videoquery.kernels.tvl1 import TVL1Params
+    from videoquery.nn.tsn import TwoStreamTSN
+
+    clips, labels = make_corpus()
+    tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=(1,))
+    configs = {
+        "baseline (xla full-res s5w5i30)": ("xla", TVL1Params(), 1),
+        "pallas full-res": ("pallas", TVL1Params(fine_warps=2), 1),
+        "pallas half-res (production)": ("pallas", TVL1Params(fine_warps=2), 2),
+        "pallas quarter-res": ("pallas", TVL1Params(fine_warps=2), 4),
+    }
+    results = {}
+    for name, (impl, tvl1, div) in configs.items():
+        t0 = time.time()
+        rgb, flow = extract(clips, impl, tvl1, div, tsn)
+        results[name] = (rgb, flow)
+        acc = partner_accuracy(flow, labels)
+        print(f"[{time.time()-t0:6.1f}s] {name:34s} "
+              f"motion-partner retrieval accuracy: {acc:.2f}", flush=True)
+
+    base_rgb, base_flow = results.pop("baseline (xla full-res s5w5i30)")
+    for name, (rgb, flow) in results.items():
+        cos = cosine(flow.reshape(-1, flow.shape[-1]),
+                     base_flow.reshape(-1, base_flow.shape[-1]))
+        print(f"{name:34s} flow-emb cosine vs baseline: "
+              f"median {np.median(cos):.4f} min {cos.min():.4f}")
+    rgb0 = next(iter(results.values()))[0]
+    print("rgb stream max |diff| across configs:",
+          float(np.abs(rgb0 - base_rgb).max()))
+
+
+if __name__ == "__main__":
+    main()
