@@ -52,9 +52,10 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 4,
                              (batch_clips, frames_per_clip, h // flow_res_div * flow_res_div,
                               w // flow_res_div * flow_res_div, 3), np.uint8)
     frames = jax.device_put(jnp.asarray(frames_np))
+    from videoquery.pipeline.sampling import flow_stack_index_matrix
+
     ticks = frame_ticks(frames_per_clip, num_ticks, 1) - 1
-    tflow = frame_ticks(frames_per_clip, num_ticks, 5)
-    sidx = np.minimum(tflow[:, None] + np.arange(5)[None, :], frames_per_clip) - 1
+    sidx = flow_stack_index_matrix(frames_per_clip, num_ticks, 5)
     ticks_j = jnp.asarray(ticks, jnp.int32)
     sidx_j = jnp.asarray(sidx, jnp.int32)
 

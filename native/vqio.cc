@@ -1,9 +1,11 @@
 // vqio: native IO for videoquery.
 //
 // Fast feature-CSV parsing (the ingest hot path — the reference parses these
-// row-by-row in Python csv.reader, api_load_records.py:41-61). mmap + manual
-// float parsing + OpenMP-free pthread row sharding; exposed to Python via a
-// plain C ABI loaded with ctypes (no pybind11 in this environment).
+// row-by-row in Python csv.reader, api_load_records.py:41-61). Whole-file
+// read into a NUL-terminated buffer (strtod/strtol require a terminator; an
+// mmap of an exactly page-sized file without a trailing newline would be
+// read past) + manual float parsing + pthread row sharding; exposed to
+// Python via a plain C ABI loaded with ctypes (no pybind11 here).
 //
 // CSV contract (calcSig_wOF.py:116-134): one header line, then rows
 // "clip,f1,...,fD" with ASCII floats.
@@ -31,6 +33,10 @@ struct Parsed {
 };
 
 // Parse rows in [begin, end); each thread writes into its own buffers.
+// Every row must have exactly `dim` comma-separated values after the clip
+// number and stop at its own line end — a short/garbled row fails the parse
+// (the Python fallback then raises) instead of silently consuming the next
+// row's values.
 void parse_rows(const char* begin, const char* end, int64_t dim,
                 std::vector<int64_t>* clips, std::vector<double>* values,
                 bool* ok) {
@@ -42,7 +48,7 @@ void parse_rows(const char* begin, const char* end, int64_t dim,
     if (line_end > p) {
       char* next = nullptr;
       long clip = strtol(p, &next, 10);
-      if (next == p || *next != ',') {
+      if (next == p || next >= line_end || *next != ',') {
         *ok = false;
         return;
       }
@@ -51,13 +57,22 @@ void parse_rows(const char* begin, const char* end, int64_t dim,
       for (int64_t i = 0; i < dim; ++i) {
         char* after = nullptr;
         double v = strtod(q, &after);
-        if (after == q) {
+        if (after == q || after > line_end) {
           *ok = false;
           return;
         }
         values->push_back(v);
         q = after;
-        if (*q == ',') ++q;
+        if (q < line_end && *q == ',') {
+          ++q;
+        } else if (i != dim - 1) {
+          *ok = false;  // fewer fields than dim
+          return;
+        }
+      }
+      if (q != line_end) {
+        *ok = false;  // more fields than dim
+        return;
       }
     }
     p = line_end + 1;
@@ -79,17 +94,26 @@ Parsed* parse_file(const char* path, int n_threads) {
     out->error = "empty file";
     return out;
   }
-  const char* data =
-      static_cast<const char*>(mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0));
+  // whole-file read with a NUL terminator: strtod/strtol need one, and an
+  // mmap of a page-multiple-sized file without a final newline would be
+  // overread at the last field
+  std::vector<char> buf(size + 1);
+  size_t got = 0;
+  while (got < size) {
+    ssize_t r = read(fd, buf.data() + got, size - got);
+    if (r <= 0) break;
+    got += static_cast<size_t>(r);
+  }
   close(fd);
-  if (data == MAP_FAILED) {
-    out->error = "mmap failed";
+  if (got != size) {
+    out->error = "short read";
     return out;
   }
+  buf[size] = '\0';
+  const char* data = buf.data();
   const char* end = data + size;
   const char* hdr_end = static_cast<const char*>(memchr(data, '\n', size));
   if (!hdr_end) {
-    munmap(const_cast<char*>(data), size);
     out->error = "no header line";
     return out;
   }
@@ -105,7 +129,6 @@ Parsed* parse_file(const char* path, int n_threads) {
     if (*c == ',') ++dim;
   out->dim = dim;
   if (dim <= 0) {
-    munmap(const_cast<char*>(data), size);
     out->error = "no data rows";
     return out;
   }
@@ -134,7 +157,6 @@ Parsed* parse_file(const char* path, int n_threads) {
     });
   }
   for (auto& th : threads) th.join();
-  munmap(const_cast<char*>(data), size);
   for (int t = 0; t < n_threads; ++t) {
     if (!oks[t]) {
       out->error = "row parse failed";

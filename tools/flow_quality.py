@@ -65,10 +65,10 @@ def extract(clips, flow_impl, tvl1, flow_res_div, tsn):
     from videoquery.pipeline.sampling import frame_ticks
 
     c, f = clips.shape[:2]
+    from videoquery.pipeline.sampling import flow_stack_index_matrix
+
     ticks = jnp.asarray(frame_ticks(f, 9, 1) - 1, jnp.int32)
-    tflow = frame_ticks(f, 9, 5)
-    sidx = jnp.asarray(
-        np.minimum(tflow[:, None] + np.arange(5)[None, :], f) - 1, jnp.int32)
+    sidx = jnp.asarray(flow_stack_index_matrix(f, 9, 5), jnp.int32)
     rgb, flow = _extract_step(
         tsn.rgb.stacked_params, tsn.flow.stacked_params,
         jnp.asarray(clips), ticks, sidx, 20.0, True, tvl1,

@@ -15,31 +15,35 @@ import numpy as np
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "vqio.cc")
 _LIB = os.path.join(_REPO_ROOT, "native", "libvqio.so")
+_LIB_FALLBACK = os.path.expanduser("~/.cache/videoquery/libvqio.so")
 _lock = threading.Lock()
 _lib = None
+_failed = False  # a failed build/load is cached: fall back to Python once,
+                 # not once per CSV file
 
 
-def _build() -> None:
+def _build(lib_path: str) -> None:
+    os.makedirs(os.path.dirname(lib_path), exist_ok=True)
     subprocess.run(
         ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-         "-pthread", _SRC, "-o", _LIB],
+         "-pthread", _SRC, "-o", lib_path],
         check=True, capture_output=True,
     )
 
 
 def _load():
-    global _lib
+    global _lib, _failed
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SRC):
-            raise ImportError("native/vqio.cc not found")
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            try:
-                _build()
-            except (OSError, subprocess.CalledProcessError) as exc:
-                raise ImportError(f"cannot build libvqio: {exc}") from exc
-        lib = ctypes.CDLL(_LIB)
+        if _failed:
+            raise ImportError("libvqio build previously failed")
+        try:
+            lib_path = _try_build()
+            lib = ctypes.CDLL(lib_path)
+        except Exception as exc:
+            _failed = True
+            raise ImportError(f"cannot build/load libvqio: {exc}") from exc
         lib.vqio_parse.restype = ctypes.c_void_p
         lib.vqio_parse.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.vqio_error.restype = ctypes.c_char_p
@@ -56,6 +60,23 @@ def _load():
         lib.vqio_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
+
+
+def _try_build() -> str:
+    if not os.path.exists(_SRC):
+        raise ImportError("native/vqio.cc not found")
+    for lib_path in (_LIB, _LIB_FALLBACK):
+        if (os.path.exists(lib_path)
+                and os.path.getmtime(lib_path) >= os.path.getmtime(_SRC)):
+            return lib_path
+    errors = []
+    for lib_path in (_LIB, _LIB_FALLBACK):  # source tree may be read-only
+        try:
+            _build(lib_path)
+            return lib_path
+        except (OSError, subprocess.CalledProcessError) as exc:
+            errors.append(f"{lib_path}: {exc}")
+    raise ImportError("; ".join(errors))
 
 
 def parse(path: str, n_threads: int | None = None):

@@ -134,17 +134,5 @@ def read_feature_tree(root: str) -> Iterator[tuple[str, int, FeatureCSV]]:
     character of the split dir name (api_load_records.py:43).
 
     Yields (video_dir_name, split, FeatureCSV)."""
-    for video_dir in sorted(os.scandir(root), key=lambda e: e.name):
-        if not video_dir.is_dir():
-            continue
-        for split_dir in sorted(os.scandir(video_dir.path), key=lambda e: e.name):
-            if not split_dir.is_dir():
-                continue
-            split = int(split_dir.name[-1])
-            for entry in sorted(os.scandir(split_dir.path), key=lambda e: e.name):
-                if (
-                    entry.is_file()
-                    and entry.name.endswith(".csv")
-                    and not entry.name.startswith(".")
-                ):
-                    yield video_dir.name, split, read_features_csv(entry.path)
+    for video, split, path in list_feature_tree(root):
+        yield video, split, read_features_csv(path)

@@ -107,7 +107,7 @@ class FeatureIndex:
                 )
             feats[s_idx[r.stream], k_idx[r.split], pos[r.clip_id]] = v
             mask[s_idx[r.stream], k_idx[r.split], pos[r.clip_id]] = True
-        feats_j = jnp.asarray(feats.astype(np.float32), dtype)
+        feats_j = jnp.asarray(feats, dtype)  # cast once from the f64 staging buffer
         mask_j = jnp.asarray(mask)
         if device_put and sharding is not None:
             feats_j = jax.device_put(feats_j, sharding)

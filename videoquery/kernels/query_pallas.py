@@ -50,7 +50,8 @@ def _query_kernel(feats_ref, mask_ref, targets_ref, tmask_ref, weights_ref,
         t.astype(f.dtype), f,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+        precision=jax.lax.Precision.HIGHEST,  # exact f32 products (bf16
+    )                                         # inputs are exact either way)
     # select ensemble row sk from the full-span mask blocks via one-hot
     n_members = n_streams * n_splits
     rows = jax.lax.broadcasted_iota(jnp.int32, (n_members, 1), 0)

@@ -165,7 +165,8 @@ def _tvl1_single(I0: jax.Array, I1: jax.Array, p: TVL1Params):
     u = jnp.zeros(shapes[-1], jnp.float32)
     v = jnp.zeros(shapes[-1], jnp.float32)
     for i in reversed(range(len(shapes))):
-        u, v = _tvl1_level(pyr0[i], pyr1[i], u, v, p)
+        p_level = dataclasses.replace(p, n_warps=p.warps_at_level(i))
+        u, v = _tvl1_level(pyr0[i], pyr1[i], u, v, p_level)
         if i > 0:
             inv = 1.0 / p.scale_step
             u = _resize2(u, shapes[i - 1]) * inv

@@ -39,7 +39,8 @@ from videoquery.pipeline.preprocess import (
     preprocess_rgb,
     quantize_flow,
 )
-from videoquery.pipeline.sampling import clip_ranges, frame_ticks
+from videoquery.pipeline.sampling import (clip_ranges, frame_ticks,
+                                          flow_stack_index_matrix)
 
 log = logging.getLogger(__name__)
 
@@ -233,11 +234,8 @@ class Extractor:
         f_len = group[0][1] - group[0][0] + 1
         clip_rgb = np.stack([frames[s - 1:e] for s, e in group])     # [B,F,H,W,3]
         ticks_rgb = frame_ticks(f_len, cfg.num_ticks, 1)             # 1-based
-        ticks_flow = frame_ticks(f_len, cfg.num_ticks, cfg.flow_stack_depth)
-        stack_idx = np.minimum(
-            ticks_flow[:, None] + np.arange(cfg.flow_stack_depth)[None, :],
-            f_len,
-        ) - 1                                                        # [T,D] 0-based
+        stack_idx = flow_stack_index_matrix(
+            f_len, cfg.num_ticks, cfg.flow_stack_depth)              # [T,D] 0-based
         rgb_emb, flow_emb = _extract_step(
             self.tsn.rgb.stacked_params,
             self.tsn.flow.stacked_params,
@@ -270,6 +268,8 @@ class Extractor:
                        weights_uri_fmt: str = "ucf101_split{split}_tsn_{stream}_bn_inception.npz",
                        ) -> list[str]:
         """One CSV per (split, stream) under <out>/<video>/<modelname>/."""
+        if not signatures:  # video too short to yield any clip
+            return []
         signatures = gather_signatures(signatures)
         paths = []
         for ki, split in enumerate(signatures[0].splits):
@@ -393,6 +393,10 @@ def main(argv=None) -> None:
         t0 = time.time()
         frames = decode.load_video(vid, new_size=new_size)
         sigs = gather_signatures(list(ex.extract_frames(frames)))
+        if not sigs:
+            log.warning("%s: too short for any clip (%d frames); skipped",
+                        name, len(frames))
+            continue
         n_clips = sum(len(s.clip_numbers) for s in sigs)
         dt = time.time() - t0
         ex.write_csv_tree(sigs, args.out, name, vid,

@@ -36,6 +36,17 @@ def flow_stack_indices(tick: int, frame_cnt: int, stack_depth: int = 5
     return np.minimum(np.arange(tick, tick + stack_depth), frame_cnt)
 
 
+def flow_stack_index_matrix(frame_cnt: int, num_ticks: int = 25,
+                            stack_depth: int = 5) -> np.ndarray:
+    """0-based [num_ticks, stack_depth] flow-frame indices for every tick —
+    the single definition of the clamping rule used by the extractor, bench
+    and tools."""
+    ticks = frame_ticks(frame_cnt, num_ticks, stack_depth)
+    return np.minimum(
+        ticks[:, None] + np.arange(stack_depth)[None, :], frame_cnt
+    ) - 1
+
+
 def clip_ranges(n_frames: int, fps: int = 15, clip_seconds: int = 10,
                 min_tail_seconds: int = 2) -> list[tuple[int, int]]:
     """[(start_frame, end_frame)] 1-based inclusive ranges per clip

@@ -34,7 +34,8 @@ def _local_query(feats, mask, targets, tmask, weights, *, k):
     sims = jnp.einsum(
         "sknd,qskd->qskn", feats, targets.astype(feats.dtype),
         preferred_element_type=jnp.float32,
-    )                                                       # [Q, S, K, n]
+        precision=jax.lax.Precision.HIGHEST,  # keep f32 products exact, like
+    )                                         # scoring.ensemble_similarities
     m = mask[None] & tmask[:, :, :, None]                   # [Q, S, K, n]
     counts = jnp.sum(m, axis=2)                             # [Q, S, n]
     total = jnp.sum(jnp.where(m, sims, 0.0), axis=2)

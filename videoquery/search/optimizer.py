@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 
 import jax
 import jax.numpy as jnp
@@ -63,9 +64,13 @@ def _parabola_vertex(x0: float, x1: float, x2: float,
     """Vertex of the parabola through (x0,y0), (x1,y1), (x2,y2).
 
     Written in the same algebraic arrangement as the reference so round-off
-    behaves identically (hyperparameter.py:88-92)."""
+    behaves identically (hyperparameter.py:88-92). An exactly flat stencil
+    makes the denominator zero (the reference degraded to NaN there); fall
+    back to the grid point so the fit-quality check stays meaningful."""
     num = (y2 - y0) * x1 ** 2 + (y1 - y2) * x0 ** 2 - (y1 - y0) * x2 ** 2
     den = (y2 - y0) * x1 + (y1 - y2) * x0 - (y1 - y0) * x2
+    if den == 0.0 or not math.isfinite(num / den):
+        return x1
     return 0.5 * num / den
 
 
