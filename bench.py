@@ -52,12 +52,13 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 4,
                              (batch_clips, frames_per_clip, h // flow_res_div * flow_res_div,
                               w // flow_res_div * flow_res_div, 3), np.uint8)
     frames = jax.device_put(jnp.asarray(frames_np))
-    from videoquery.pipeline.sampling import flow_stack_index_matrix
+    from videoquery.pipeline.sampling import flow_pair_plan
 
     ticks = frame_ticks(frames_per_clip, num_ticks, 1) - 1
-    sidx = flow_stack_index_matrix(frames_per_clip, num_ticks, 5)
+    pair_idx, stack_pos = flow_pair_plan(frames_per_clip, num_ticks, 5)
     ticks_j = jnp.asarray(ticks, jnp.int32)
-    sidx_j = jnp.asarray(sidx, jnp.int32)
+    sidx_j = jnp.asarray(stack_pos, jnp.int32)
+    pair_j = jnp.asarray(pair_idx, jnp.int32)
 
     impl = default_flow_impl()
     log(f"[extract] flow impl: {impl}, tvl1 s{flow_scales} w{flow_warps} "
@@ -68,6 +69,7 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 4,
             tsn.rgb.stacked_params, tsn.flow.stacked_params, frames,
             ticks_j, sidx_j, 20.0, True, tvl1, (340, 256), 224, dtype, impl,
             flow_res_div,
+            flow_pair_idx=pair_j if impl == "pallas" else None,
         )
         # block_until_ready does NOT block on the tunneled axon backend;
         # force a scalar readback to synchronize

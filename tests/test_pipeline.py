@@ -104,3 +104,40 @@ def test_synthesize_and_decode_video(tmp_path):
     frames = decode.load_video(path)
     assert frames.shape == (30, 120, 160, 3)
     assert frames.dtype == np.uint8
+
+
+def test_reduced_pair_flow_matches_full(rng):
+    """The pallas reduced-pair flow plan must produce the same embeddings as
+    the xla full-pair path given the same (xla-equivalent) flow fields —
+    validated in interpret mode on CPU."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videoquery.kernels.tvl1 import TVL1Params
+    from videoquery.nn.tsn import StreamEnsemble, TwoStreamTSN
+    from videoquery.pipeline.extract import _extract_step
+    from videoquery.pipeline.sampling import flow_pair_plan, frame_ticks
+
+    tsn = TwoStreamTSN(
+        StreamEnsemble.random(jax.random.PRNGKey(0), 3, splits=(1,)),
+        StreamEnsemble.random(jax.random.PRNGKey(1), 10, splits=(1,)),
+    )
+    frames = jnp.asarray(rng.integers(0, 255, (1, 12, 64, 80, 3)), jnp.uint8)
+    ticks = jnp.asarray(frame_ticks(12, 4, 1) - 1, jnp.int32)
+    pair_idx, stack_pos = flow_pair_plan(12, 4, 5)
+    tvl1 = TVL1Params(n_scales=2, n_warps=1, n_iters=4)
+    common = dict(bound=20.0, warped=False, tvl1=tvl1, cfg_resize=(120, 96),
+                  cfg_crop=64, dtype_str="float32")
+    with pltpu.force_tpu_interpret_mode():
+        r_pair, f_pair = _extract_step(
+            tsn.rgb.stacked_params, tsn.flow.stacked_params, frames, ticks,
+            jnp.asarray(stack_pos, jnp.int32), flow_impl="pallas",
+            flow_pair_idx=jnp.asarray(pair_idx, jnp.int32), **common)
+        r_full, f_full = _extract_step(
+            tsn.rgb.stacked_params, tsn.flow.stacked_params, frames, ticks,
+            jnp.asarray(pair_idx[stack_pos], jnp.int32), flow_impl="pallas",
+            **common)
+    np.testing.assert_allclose(np.asarray(r_pair), np.asarray(r_full),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_pair), np.asarray(f_full),
+                               rtol=1e-5, atol=1e-6)

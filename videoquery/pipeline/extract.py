@@ -39,8 +39,8 @@ from videoquery.pipeline.preprocess import (
     preprocess_rgb,
     quantize_flow,
 )
-from videoquery.pipeline.sampling import (clip_ranges, frame_ticks,
-                                          flow_stack_index_matrix)
+from videoquery.pipeline.sampling import (clip_ranges, flow_pair_plan,
+                                          frame_ticks)
 
 log = logging.getLogger(__name__)
 
@@ -87,6 +87,25 @@ clip_flow = jax.jit(_clip_flow, static_argnames=("bound", "warped", "tvl1", "imp
                                                  "value_scale"))
 
 
+def _pair_flow(gray: jax.Array, pair_idx: jax.Array, bound: float,
+               warped: bool, tvl1: TVL1Params, value_scale: float) -> jax.Array:
+    """Flow for the selected frame pairs only (always the Pallas path — this
+    branch exists for TPU throughput). Returns u8 [B, P, h, w, 2]."""
+    from videoquery.kernels.tvl1_pallas import (
+        tvl1_flow_pallas,
+        tvl1_warped_flow_pallas,
+    )
+
+    b, f, h, w = gray.shape
+    i0 = jnp.take(gray, pair_idx, axis=1)
+    i1 = jnp.take(gray, pair_idx + 1, axis=1)
+    p = pair_idx.shape[0]
+    flow_fn = tvl1_warped_flow_pallas if warped else tvl1_flow_pallas
+    u, v = flow_fn(i0.reshape(b * p, h, w), i1.reshape(b * p, h, w), tvl1)
+    uv = jnp.stack([u, v], axis=-1).reshape(b, p, h, w, 2) * value_scale
+    return quantize_flow(uv, bound)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bound", "warped", "tvl1", "cfg_resize", "cfg_crop",
@@ -97,7 +116,8 @@ def _extract_step(
     flow_params,
     frames_u8: jax.Array,     # u8 [B, F, H, W, 3] BGR
     rgb_tick_idx: jax.Array,  # i32 [T] 0-based frame indices
-    stack_idx: jax.Array,     # i32 [T, D] 0-based flow-frame indices
+    stack_idx: jax.Array,     # i32 [T, D] flow-frame indices, OR positions
+                              # into flow_pair_idx when that is given
     bound: float,
     warped: bool,
     tvl1: TVL1Params,
@@ -106,6 +126,7 @@ def _extract_step(
     dtype_str: str,
     flow_impl: str = "xla",
     flow_res_div: int = 1,
+    flow_pair_idx: jax.Array | None = None,  # i32 [P] from flow_pair_plan
 ):
     """The whole per-batch extraction as ONE device program:
     grayscale -> warped TV-L1 -> tick gather -> preprocess -> 6-way TSN.
@@ -124,8 +145,14 @@ def _extract_step(
         fh = gray.shape[2] // flow_res_div
         fw = gray.shape[3] // flow_res_div
         gray = jax.image.resize(gray, (bb, ff, fh, fw), method="linear")
-    flow_q = _clip_flow(gray, bound, warped, tvl1, flow_impl,
-                        float(flow_res_div))      # u8 [B,F,fh,fw,2]
+    if flow_pair_idx is not None:
+        # compute flow only for the tick-consumed pairs (flow_pair_plan):
+        # stack_idx then holds positions into flow_pair_idx
+        flow_q = _pair_flow(gray, flow_pair_idx, bound, warped, tvl1,
+                            float(flow_res_div))  # u8 [B,P,fh,fw,2]
+    else:
+        flow_q = _clip_flow(gray, bound, warped, tvl1, flow_impl,
+                            float(flow_res_div))  # u8 [B,F,fh,fw,2]
 
     rgb_ticks = jnp.take(frames_u8, rgb_tick_idx, axis=1)  # [B,T,H,W,3]
     stacks = jnp.take(flow_q, stack_idx.reshape(-1), axis=1)
@@ -234,14 +261,19 @@ class Extractor:
         f_len = group[0][1] - group[0][0] + 1
         clip_rgb = np.stack([frames[s - 1:e] for s, e in group])     # [B,F,H,W,3]
         ticks_rgb = frame_ticks(f_len, cfg.num_ticks, 1)             # 1-based
-        stack_idx = flow_stack_index_matrix(
-            f_len, cfg.num_ticks, cfg.flow_stack_depth)              # [T,D] 0-based
+        pair_idx, stack_pos = flow_pair_plan(
+            f_len, cfg.num_ticks, cfg.flow_stack_depth)
+        use_pairs = self.flow_impl == "pallas"
+        # pallas path: stack slots index into the reduced pair list; xla
+        # path: slots index flow frames directly (pair_idx[pos] == the
+        # clamped frame index, identical content to the full layout)
+        stack = stack_pos if use_pairs else pair_idx[stack_pos]
         rgb_emb, flow_emb = _extract_step(
             self.tsn.rgb.stacked_params,
             self.tsn.flow.stacked_params,
             jnp.asarray(clip_rgb),
             jnp.asarray(ticks_rgb - 1, jnp.int32),
-            jnp.asarray(stack_idx, jnp.int32),
+            jnp.asarray(stack, jnp.int32),
             cfg.flow_bound,
             self.warped,
             self.tvl1,
@@ -250,6 +282,8 @@ class Extractor:
             self.dtype,
             self.flow_impl,
             self.flow_res_div,
+            flow_pair_idx=(jnp.asarray(pair_idx, jnp.int32)
+                           if use_pairs else None),
         )
         # keep embeddings on device: callers batch the readback
         # (gather_signatures) — each np.asarray here costs ~35 ms of tunnel
