@@ -265,3 +265,27 @@ def test_zero_matches_sets_error_state(fixture_api_template):
     q = api.queries[query["id"]]
     assert q["process_state"] == STATE_ERROR
     assert "No matches were found" in q["notes"]
+
+
+def test_final_report_format(fixture_api_template, tmp_path, monkeypatch):
+    """Deep-check the finalize report against the reference layout
+    (ticket.py:182-274): provenance rows, column header, rows sorted by
+    descending score, match-type labels."""
+    api, videos, clip_ids = fixture_api_template
+    monkeypatch.chdir(tmp_path)
+    query, report = run_full_lifecycle(api, videos, clip_ids, dyn=False)
+    lines = report.splitlines()
+    assert lines[0].startswith("Query:,")
+    assert lines[1].startswith("Search Set queried:,")
+    assert lines[2].startswith("Reference Video:,DowntownBrooklynDrive_480p")
+    header_i = next(i for i, l in enumerate(lines)
+                    if l.startswith("clip #,start time,match type"))
+    rows = [l.split(",") for l in lines[header_i + 1:] if l]
+    scores = [float(r[5]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    types = {r[2] for r in rows}
+    assert types <= {"user-identified match", "user-identified non-match",
+                     "inferred match", "inferred non-match"}
+    assert "user-identified match" in types
+    # start times are h:mm:ss strings derived from match_video_time_span
+    assert all(":" in r[1] for r in rows)

@@ -275,3 +275,27 @@ def test_prototxt_matches_transcribed_architecture(stream, cin):
         assert name + "_bn" in bn_layers
         bn = next(l for l in net["layer"] if l["name"] == name + "_bn")
         assert bn["bn_param"]["frozen"] is True
+
+
+def test_convert_cli_roundtrip(tmp_path, rng):
+    """The converter CLI produces an npz bundle the extractor can load."""
+    from videoquery.nn.convert_caffe import load_npz, main as convert_main
+
+    # build a synthetic caffemodel for the rgb architecture
+    raw = b""
+    for name, (kh, kw, cin, cout) in bn_inception.conv_shapes(3).items():
+        w = rng.normal(size=(cout, cin, kh, kw)).astype(np.float32) * 0.05
+        b = np.zeros(cout, np.float32)
+        raw += _layer(name, "Convolution", [w, b])
+    raw += _layer("fc-action", "InnerProduct",
+                  [rng.normal(size=(101, 1024)).astype(np.float32) * 0.01,
+                   np.zeros(101, np.float32)])
+    src = tmp_path / "m.caffemodel"
+    src.write_bytes(raw)
+    out = tmp_path / "w" / "rgb_split1.npz"
+    convert_main([str(src), "--stream", "rgb", "--out", str(out)])
+    params = load_npz(str(out))
+    assert "fc-action" in params and "conv1/7x7_s2" in params
+    x = jnp.ones((1, 64, 64, 3))
+    emb = bn_inception.embed_jit(jax.tree.map(jnp.asarray, params), x)
+    assert emb.shape == (1, 1024)

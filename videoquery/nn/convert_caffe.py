@@ -187,3 +187,39 @@ def load_npz(path: str) -> dict:
         layer, k = key.split("::")
         params.setdefault(layer, {})[k] = flat[key]
     return params
+
+
+def main(argv=None) -> None:
+    """CLI: convert TSN caffemodels to the framework's npz bundles.
+
+    Example (mirroring the reference ensemble layout,
+    calcSig_wOF_ensemble.sh:12-37):
+      python -m videoquery.nn.convert_caffe \
+          ucf101_split1_tsn_rgb_reference_bn_inception.caffemodel \
+          --stream rgb --out weights/rgb_split1.npz
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description="caffemodel -> npz converter")
+    parser.add_argument("caffemodel", help="binary .caffemodel path")
+    parser.add_argument("--stream", choices=["rgb", "flow"], required=True,
+                        help="rgb (3-ch input) or flow (10-ch input)")
+    parser.add_argument("--out", required=True, help="output .npz path")
+    parser.add_argument("--bn_eps", type=float, default=1e-5)
+    args = parser.parse_args(argv)
+    in_channels = (bn_inception.RGB_CHANNELS if args.stream == "rgb"
+                   else bn_inception.FLOW_CHANNELS)
+    params = convert(args.caffemodel, in_channels=in_channels,
+                     bn_eps=args.bn_eps)
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    save_npz(params, args.out)
+    n_params = sum(int(np.prod(v.shape)) for p in params.values()
+                   for v in p.values())
+    print(f"converted {len(params)} layers ({n_params/1e6:.1f}M params) "
+          f"-> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
