@@ -242,6 +242,12 @@ def bench_round(n_segments: int = 100_000, n_reviewed: int = 20,
 
 
 def main():
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from videoquery.core.jaxsetup import setup_jax
+
+    setup_jax()  # persistent compile cache: repeat runs skip 30-60s compiles
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="both",
                     choices=["extract", "query", "round", "ingest", "both"])
@@ -256,6 +262,16 @@ def main():
         rate = bench_extraction(n_batches=args.batches,
                                 batch_clips=args.batch_clips)
     if args.mode in ("query", "both"):
+        if rate is not None:
+            # free the extraction working set before building the 12.6 GB
+            # index (HBM is 16 GB; lingering frame/param buffers tip it over)
+            import gc
+
+            import jax
+
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
         p50 = bench_query(n_segments=args.segments)
     if args.mode == "ingest":
         rows_per_s = bench_ingest()
