@@ -289,3 +289,23 @@ def test_final_report_format(fixture_api_template, tmp_path, monkeypatch):
     assert "user-identified match" in types
     # start times are h:mm:ss strings derived from match_video_time_span
     assert all(":" in r[1] for r in rows)
+
+
+def test_full_lifecycle_partial_update(fixture_api_template, tmp_path,
+                                       monkeypatch):
+    """partial_update bootstrapping through the full lifecycle: the round-2
+    target is an EMA of the fresh solve and the stored round-1 target
+    (target_clip.py:75-82)."""
+    api, videos, clip_ids = fixture_api_template
+    monkeypatch.chdir(tmp_path)
+    query, _ = run_full_lifecycle(api, videos, clip_ids, dyn=True,
+                                  bootstrap_type="partial_update")
+    results = sorted(
+        (r for r in api.query_results.values() if r["query"] == query["id"]),
+        key=lambda r: r["round"],
+    )
+    assert len(results) == 3
+    t1 = json.loads(results[0]["bootstrapped_target"])
+    t2 = json.loads(results[1]["bootstrapped_target"])
+    s = next(iter(t1["rgb"]))
+    assert not np.allclose(t1["rgb"][s], t2["rgb"][s])

@@ -422,10 +422,21 @@ def main(argv=None) -> None:
         new_size = (args.new_width, args.new_height)
 
     ex = Extractor(tsn, cfg, warped=not args.no_warp, dtype=args.dtype)
-    for vid in videos:
+
+    # prefetch: decode video i+1 on a host thread while the device extracts
+    # video i (cv2 decode is host-bound; extraction is device-bound)
+    from concurrent.futures import ThreadPoolExecutor
+
+    decoder = ThreadPoolExecutor(max_workers=1)
+    futures = {videos[0]: decoder.submit(decode.load_video, videos[0],
+                                         new_size=new_size)} if videos else {}
+    for i, vid in enumerate(videos):
+        if i + 1 < len(videos):
+            futures[videos[i + 1]] = decoder.submit(
+                decode.load_video, videos[i + 1], new_size=new_size)
         name = os.path.splitext(os.path.basename(vid))[0]
         t0 = time.time()
-        frames = decode.load_video(vid, new_size=new_size)
+        frames = futures.pop(vid).result()
         sigs = gather_signatures(list(ex.extract_frames(frames)))
         if not sigs:
             log.warning("%s: too short for any clip (%d frames); skipped",
@@ -438,6 +449,7 @@ def main(argv=None) -> None:
         log.info("%s: %d clips in %.1fs (%.2f clips/s)", name, n_clips, dt,
                  n_clips / dt)
         print(f"{name}: {n_clips} clips in {dt:.1f}s ({n_clips/dt:.2f} clips/s)")
+    decoder.shutdown(wait=False)
 
 
 if __name__ == "__main__":

@@ -44,8 +44,13 @@ def setup_logging(config: BrokerConfig) -> None:
 
 class Broker:
     def __init__(self, config: BrokerConfig | None = None,
-                 client: ActionClient | None = None, exact: bool = False):
+                 client: ActionClient | None = None,
+                 exact: bool | None = None):
         self.config = config or BrokerConfig.from_env()
+        if exact is None:
+            # VIDEOQUERY_EXACT=1 runs the float64 reference-parity similarity
+            # path (host BLAS) instead of the f32 device path
+            exact = os.environ.get("VIDEOQUERY_EXACT") == "1"
         self.client = client or ActionClient(HTTPTransport(self.config.base_url))
         self.repository = APIRepository(self.client, self.config.base_url)
         self.exact = exact
