@@ -56,7 +56,7 @@ def default_flow_impl() -> str:
 
 def _clip_flow(gray: jax.Array, bound: float, warped: bool,
                tvl1: TVL1Params, impl: str = "xla",
-               value_scale: float = 1.0) -> jax.Array:
+               value_scale: tuple[float, float] = (1.0, 1.0)) -> jax.Array:
     """Per-frame optical flow for whole clips, quantized like dense_flow.
 
     gray: f32 [B, F, H, W] in [0, 1]. Returns u8 [B, F, H, W, 2] (x, y).
@@ -77,8 +77,9 @@ def _clip_flow(gray: jax.Array, bound: float, warped: bool,
         flow_fn = tvl1_warped_flow if warped else tvl1_flow
     u, v = flow_fn(i0, i1, tvl1)
     # flow computed at reduced resolution measures motion in its own pixels;
-    # rescale to native-resolution pixels before dense_flow-style quantization
-    uv = jnp.stack([u, v], axis=-1).reshape(b, f - 1, h, w, 2) * value_scale
+    # rescale (per axis) to native pixels before dense_flow-style quantization
+    uv = jnp.stack([u * value_scale[0], v * value_scale[1]], axis=-1)
+    uv = uv.reshape(b, f - 1, h, w, 2)
     uv = jnp.concatenate([uv, uv[:, -1:]], axis=1)
     return quantize_flow(uv, bound)
 
@@ -88,9 +89,12 @@ clip_flow = jax.jit(_clip_flow, static_argnames=("bound", "warped", "tvl1", "imp
 
 
 def _pair_flow(gray: jax.Array, pair_idx: jax.Array, bound: float,
-               warped: bool, tvl1: TVL1Params, value_scale: float) -> jax.Array:
+               warped: bool, tvl1: TVL1Params,
+               value_scale: tuple[float, float]) -> jax.Array:
     """Flow for the selected frame pairs only (always the Pallas path — this
-    branch exists for TPU throughput). Returns u8 [B, P, h, w, 2]."""
+    branch exists for TPU throughput). value_scale = (sx, sy) converts flow
+    values back to native pixels (the flow grid may be anisotropically
+    scaled). Returns u8 [B, P, h, w, 2]."""
     from videoquery.kernels.tvl1_pallas import (
         tvl1_flow_pallas,
         tvl1_warped_flow_pallas,
@@ -102,8 +106,8 @@ def _pair_flow(gray: jax.Array, pair_idx: jax.Array, bound: float,
     p = pair_idx.shape[0]
     flow_fn = tvl1_warped_flow_pallas if warped else tvl1_flow_pallas
     u, v = flow_fn(i0.reshape(b * p, h, w), i1.reshape(b * p, h, w), tvl1)
-    uv = jnp.stack([u, v], axis=-1).reshape(b, p, h, w, 2) * value_scale
-    return quantize_flow(uv, bound)
+    uv = jnp.stack([u * value_scale[0], v * value_scale[1]], axis=-1)
+    return quantize_flow(uv.reshape(b, p, h, w, 2), bound)
 
 
 @functools.partial(
@@ -140,19 +144,29 @@ def _extract_step(
     f32 = frames_u8.astype(jnp.float32)
     # ITU-R 601 luma, matching cv2 BGR2GRAY
     gray = (0.114 * f32[..., 0] + 0.587 * f32[..., 1] + 0.299 * f32[..., 2]) / 255.0
+    h0, w0 = gray.shape[2:4]
     if flow_res_div > 1:
         bb, ff = gray.shape[:2]
-        fh = gray.shape[2] // flow_res_div
-        fw = gray.shape[3] // flow_res_div
+        fh = max(8, (h0 // flow_res_div) // 8 * 8)
+        # lane-align the flow width when it exceeds a lane tile: a 170-wide
+        # grid pads to 256 lanes inside every Pallas roll (1.5x wasted VPU
+        # work); 128 is pad-free. Widths under 128 pad to one tile either
+        # way, so keep their native aspect. The anisotropic value scale
+        # converts flow back to native pixels.
+        fw0 = w0 // flow_res_div
+        fw = (fw0 // 128 * 128) if fw0 >= 128 else fw0
         gray = jax.image.resize(gray, (bb, ff, fh, fw), method="linear")
+    else:
+        fh, fw = h0, w0
+    vscale = (w0 / fw, h0 / fh)
     if flow_pair_idx is not None:
         # compute flow only for the tick-consumed pairs (flow_pair_plan):
         # stack_idx then holds positions into flow_pair_idx
         flow_q = _pair_flow(gray, flow_pair_idx, bound, warped, tvl1,
-                            float(flow_res_div))  # u8 [B,P,fh,fw,2]
+                            vscale)               # u8 [B,P,fh,fw,2]
     else:
         flow_q = _clip_flow(gray, bound, warped, tvl1, flow_impl,
-                            float(flow_res_div))  # u8 [B,F,fh,fw,2]
+                            vscale)               # u8 [B,F,fh,fw,2]
 
     rgb_ticks = jnp.take(frames_u8, rgb_tick_idx, axis=1)  # [B,T,H,W,3]
     stacks = jnp.take(flow_q, stack_idx.reshape(-1), axis=1)
