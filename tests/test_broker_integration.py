@@ -309,3 +309,45 @@ def test_full_lifecycle_partial_update(fixture_api_template, tmp_path,
     t2 = json.loads(results[1]["bootstrapped_target"])
     s = next(iter(t1["rgb"]))
     assert not np.allclose(t1["rgb"][s], t2["rgb"][s])
+
+
+def test_broker_loop_runs_and_stops(fixture_api_template):
+    """Broker.run_forever processes pending jobs and stops cleanly."""
+    import threading
+    import time as _time
+
+    from videoquery.core.config import BrokerConfig
+    from videoquery.service.broker import Broker
+
+    api, videos, clip_ids = fixture_api_template
+    query = fresh_query(api, videos, clip_ids)
+    broker = Broker(
+        BrokerConfig(base_url="fake://", loop_seconds=0.05),
+        client=FakeClient(api),
+        exact=True,
+    )
+    t = threading.Thread(target=broker.run_forever)
+    t.start()
+    deadline = _time.time() + 30
+    while (api.queries[query["id"]]["process_state"] != STATE_PROCESSED
+           and _time.time() < deadline):
+        _time.sleep(0.1)
+    broker.stop()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert api.queries[query["id"]]["process_state"] == STATE_PROCESSED
+
+
+def test_add_note_accumulates(fixture_api_template):
+    """Notes chain with blank-line separators (ticket.py:64-78)."""
+    from videoquery.service.ticket import Ticket
+
+    api, videos, clip_ids = fixture_api_template
+    query = fresh_query(api, videos, clip_ids)
+    update = api.action(["query-state", "compute-new", "list"])
+    ticket = Ticket(update, FakeClient(api))
+    ticket.add_note("first")
+    ticket.add_note("second")
+    assert api.queries[ticket.query_id]["notes"] == "first\n\nsecond"
+    # restore state so other tests' polls don't pick this query up oddly
+    api.queries[query["id"]]["process_state"] = STATE_PROCESSED
