@@ -152,3 +152,30 @@ def test_extraction_step_compiles_sharded(rng, mesh):
     )
     assert rgb_emb.shape == (2, 4, 1024)
     assert np.isfinite(np.asarray(rgb_emb)).all()
+
+
+def test_extractor_with_mesh(rng):
+    """The high-level Extractor runs with clips sharded over the data axis
+    and the ensemble over the model axis on the virtual mesh."""
+    from videoquery.core.config import ExtractionConfig
+    from videoquery.kernels.tvl1 import TVL1Params
+    from videoquery.nn.tsn import StreamEnsemble, TwoStreamTSN
+    from videoquery.pipeline.extract import Extractor, gather_signatures
+
+    mesh2 = make_mesh(model_parallel=2)
+    tsn = TwoStreamTSN(
+        StreamEnsemble.random(jax.random.PRNGKey(0), 3, splits=(1, 2)),
+        StreamEnsemble.random(jax.random.PRNGKey(1), 10, splits=(1, 2)),
+    )
+    cfg = ExtractionConfig(fps=5, clip_seconds=2, num_ticks=4,
+                           frame_resize=(120, 96), crop_size=64,
+                           batch_clips=4, min_tail_seconds=1)
+    ex = Extractor(tsn, cfg, warped=False,
+                   tvl1=TVL1Params(n_scales=2, n_warps=1, n_iters=4),
+                   flow_impl="xla", mesh=mesh2)
+    frames = rng.integers(0, 255, (40, 64, 80, 3)).astype(np.uint8)
+    sigs = gather_signatures(list(ex.extract_frames(frames)))
+    nums = [n for s in sigs for n in s.clip_numbers]
+    assert sorted(nums) == [1, 2, 3, 4]
+    for s in sigs:
+        assert np.isfinite(np.asarray(s.rgb)).all()

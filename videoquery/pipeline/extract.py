@@ -239,9 +239,17 @@ def gather_signatures(sigs: list[ClipSignatures]) -> list[ClipSignatures]:
 
 
 class Extractor:
+    """Two-stream signature extractor.
+
+    With a mesh, clip batches shard over the "data" axis and the split
+    ensemble over the "model" axis (batch_clips should be a multiple of the
+    data-axis size; SURVEY.md §2.3's TPU-native mapping of the reference's
+    multiprocessing pools)."""
+
     def __init__(self, tsn: TwoStreamTSN, cfg: ExtractionConfig | None = None,
                  warped: bool = True, dtype: str = "float32",
-                 tvl1: TVL1Params | None = None, flow_impl: str | None = None):
+                 tvl1: TVL1Params | None = None, flow_impl: str | None = None,
+                 mesh=None):
         self.tsn = tsn
         self.cfg = cfg or ExtractionConfig()
         self.warped = warped
@@ -249,6 +257,26 @@ class Extractor:
         self.tvl1 = tvl1 or TVL1Params(fine_warps=2)
         self.flow_impl = flow_impl or default_flow_impl()
         self.flow_res_div = self.cfg.flow_res_div
+        self.mesh = mesh
+        self._frame_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from videoquery.core.meshes import DATA_AXIS, MODEL_AXIS
+
+            self._frame_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            if mesh.shape.get(MODEL_AXIS, 1) > 1:
+                model_sh = NamedSharding(mesh, P(MODEL_AXIS))
+                self.tsn = TwoStreamTSN(
+                    dataclasses.replace(
+                        tsn.rgb,
+                        stacked_params=jax.device_put(tsn.rgb.stacked_params,
+                                                      model_sh)),
+                    dataclasses.replace(
+                        tsn.flow,
+                        stacked_params=jax.device_put(tsn.flow.stacked_params,
+                                                      model_sh)),
+                )
 
     def extract_frames(self, frames: np.ndarray, clip_numbers=None
                        ) -> Iterator[ClipSignatures]:
@@ -282,10 +310,13 @@ class Extractor:
         # path: slots index flow frames directly (pair_idx[pos] == the
         # clamped frame index, identical content to the full layout)
         stack = stack_pos if use_pairs else pair_idx[stack_pos]
+        frames_dev = jnp.asarray(clip_rgb)
+        if self._frame_sharding is not None:
+            frames_dev = jax.device_put(frames_dev, self._frame_sharding)
         rgb_emb, flow_emb = _extract_step(
             self.tsn.rgb.stacked_params,
             self.tsn.flow.stacked_params,
-            jnp.asarray(clip_rgb),
+            frames_dev,
             jnp.asarray(ticks_rgb - 1, jnp.int32),
             jnp.asarray(stack, jnp.int32),
             cfg.flow_bound,
