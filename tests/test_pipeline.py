@@ -141,3 +141,22 @@ def test_reduced_pair_flow_matches_full(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(f_pair), np.asarray(f_full),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_gather_signatures_mixed(rng):
+    """gather_signatures handles a mix of host and device signatures."""
+    import jax.numpy as jnp
+
+    from videoquery.pipeline.extract import ClipSignatures, gather_signatures
+
+    host = ClipSignatures([1], rng.normal(size=(2, 1, 8)).astype(np.float32),
+                          rng.normal(size=(2, 1, 8)).astype(np.float32), (1, 2))
+    dev_rgb = jnp.asarray(rng.normal(size=(2, 3, 8)), jnp.float32)
+    dev_flow = jnp.asarray(rng.normal(size=(2, 3, 8)), jnp.float32)
+    dev = ClipSignatures([2, 3, 4], dev_rgb, dev_flow, (1, 2))
+    out = gather_signatures([host, dev])
+    assert all(isinstance(s.rgb, np.ndarray) for s in out)
+    np.testing.assert_array_equal(out[0].rgb, host.rgb)
+    np.testing.assert_allclose(out[1].rgb, np.asarray(dev_rgb), rtol=1e-6)
+    np.testing.assert_allclose(out[1].flow, np.asarray(dev_flow), rtol=1e-6)
+    assert out[1].clip_numbers == [2, 3, 4]

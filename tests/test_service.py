@@ -130,3 +130,16 @@ def test_authenticate_failure_returns_none(monkeypatch):
 
     monkeypatch.delenv("API_CLIENT_USERNAME", raising=False)
     assert authenticate("http://api:8000/", session=object()) is None
+
+
+def test_loader_cli_shard_out_no_api(tmp_path, rng):
+    """loader --shard_out --no_api builds binary shards with no API client."""
+    from videoquery.index.persist import load_index_binary
+    from videoquery.service import loader
+
+    root = make_csv_tree(tmp_path, rng)
+    out = str(tmp_path / "shards")
+    loader.main([root, "--shard_out", out, "--no_api"])
+    idx = load_index_binary(out)
+    assert idx.n_clips == 6
+    assert idx.splits == (1, 2)
