@@ -35,15 +35,22 @@ from videoquery.kernels.tvl1 import TVL1Params
 
 
 def _forward_diff(f):
-    h, w = f.shape
-    fx = jnp.concatenate([f[:, 1:] - f[:, :-1], jnp.zeros((h, 1), f.dtype)], axis=1)
-    fy = jnp.concatenate([f[1:, :] - f[:-1, :], jnp.zeros((1, w), f.dtype)], axis=0)
+    """Forward differences on the last two axes (works for [H, W] and
+    [G, H, W] blocks)."""
+    zx = jnp.zeros(f.shape[:-1] + (1,), f.dtype)
+    zy = jnp.zeros(f.shape[:-2] + (1,) + f.shape[-1:], f.dtype)
+    fx = jnp.concatenate([f[..., :, 1:] - f[..., :, :-1], zx], axis=-1)
+    fy = jnp.concatenate([f[..., 1:, :] - f[..., :-1, :], zy], axis=-2)
     return fx, fy
 
 
 def _divergence(p1, p2):
-    d1 = jnp.concatenate([p1[:, :1], p1[:, 1:-1] - p1[:, :-2], -p1[:, -2:-1]], axis=1)
-    d2 = jnp.concatenate([p2[:1, :], p2[1:-1, :] - p2[:-2, :], -p2[-2:-1, :]], axis=0)
+    d1 = jnp.concatenate(
+        [p1[..., :, :1], p1[..., :, 1:-1] - p1[..., :, :-2],
+         -p1[..., :, -2:-1]], axis=-1)
+    d2 = jnp.concatenate(
+        [p2[..., :1, :], p2[..., 1:-1, :] - p2[..., :-2, :],
+         -p2[..., -2:-1, :]], axis=-2)
     return d1 + d2
 
 
@@ -51,13 +58,13 @@ def _level_kernel(i0_ref, i1p_ref, i1xp_ref, i1yp_ref, u_ref, v_ref,
                   uo_ref, vo_ref, *, p: TVL1Params, d: int):
     """One whole pyramid level in VMEM. i1p/i1xp/i1yp are edge-padded by
     P = d+1 (top/left) and at least P (bottom/right) on the spatial dims."""
-    i0 = i0_ref[0]
-    u = u_ref[0]
-    v = v_ref[0]
-    i1p = i1p_ref[0]
-    i1xp = i1xp_ref[0]
-    i1yp = i1yp_ref[0]
-    h, w = i0.shape
+    i0 = i0_ref[...]
+    u = u_ref[...]
+    v = v_ref[...]
+    i1p = i1p_ref[...]
+    i1xp = i1xp_ref[...]
+    i1yp = i1yp_ref[...]
+    g, h, w = i0.shape
     l_t = p.lambda_ * p.theta
     taut = p.tau / p.theta
     nwin = 2 * d + 2
@@ -76,17 +83,17 @@ def _level_kernel(i0_ref, i1p_ref, i1xp_ref, i1yp_ref, u_ref, v_ref,
         MOSAIC BUG WORKAROUND (observed on v5e, jax 0.9): dynamic roll with
         a NEGATIVE shift along the sublane axis silently corrupts data —
         always roll by the positive complement (size - shift)."""
-        zeros = jnp.zeros((h, w), jnp.float32)
-        hh = i1p.shape[0]
-        ww = i1p.shape[1]
+        zeros = jnp.zeros((g, h, w), jnp.float32)
+        hh = i1p.shape[1]
+        ww = i1p.shape[2]
 
         def outer(iy, accs):
             dy = iy - d
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(v_ - dy.astype(jnp.float32)))
             sy = hh - (pad + dy)  # == roll(-(pad+dy)), kept positive
-            r0 = pltpu.roll(i1p, sy, 0)
-            r1 = pltpu.roll(i1xp, sy, 0)
-            r2 = pltpu.roll(i1yp, sy, 0)
+            r0 = pltpu.roll(i1p, sy, 1)
+            r1 = pltpu.roll(i1xp, sy, 1)
+            r2 = pltpu.roll(i1yp, sy, 1)
 
             def inner(ix, accs2):
                 a0, a1, a2 = accs2
@@ -94,16 +101,16 @@ def _level_kernel(i0_ref, i1p_ref, i1xp_ref, i1yp_ref, u_ref, v_ref,
                 wgt = wy * jnp.maximum(
                     0.0, 1.0 - jnp.abs(u_ - dx.astype(jnp.float32)))
                 sx = ww - (pad + dx)
-                s0 = pltpu.roll(r0, sx, 1)[:h, :w]
-                s1 = pltpu.roll(r1, sx, 1)[:h, :w]
-                s2 = pltpu.roll(r2, sx, 1)[:h, :w]
+                s0 = pltpu.roll(r0, sx, 2)[:, :h, :w]
+                s1 = pltpu.roll(r1, sx, 2)[:, :h, :w]
+                s2 = pltpu.roll(r2, sx, 2)[:, :h, :w]
                 return a0 + wgt * s0, a1 + wgt * s1, a2 + wgt * s2
 
             return jax.lax.fori_loop(0, nwin, inner, accs)
 
         return jax.lax.fori_loop(0, nwin, outer, (zeros, zeros, zeros))
 
-    p11 = jnp.zeros((h, w), jnp.float32)
+    p11 = jnp.zeros((g, h, w), jnp.float32)
     p12 = jnp.zeros_like(p11)
     p21 = jnp.zeros_like(p11)
     p22 = jnp.zeros_like(p11)
@@ -143,8 +150,8 @@ def _level_kernel(i0_ref, i1p_ref, i1xp_ref, i1yp_ref, u_ref, v_ref,
             0, p.n_iters, inner, (u, v, p11, p12, p21, p22)
         )
 
-    uo_ref[0] = u
-    vo_ref[0] = v
+    uo_ref[...] = u
+    vo_ref[...] = v
 
 
 def _warp_kernel(ip_ref, u_ref, v_ref, o_ref, *, d: int):
@@ -247,26 +254,34 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("p", "max_disp"))
+@functools.partial(jax.jit, static_argnames=("p", "max_disp", "pairs_per_program"))
 def tvl1_level_pallas(i0, i1, u, v, p: TVL1Params = TVL1Params(),
-                      max_disp: int = 8):
+                      max_disp: int = 8, pairs_per_program: int = 1):
     """One TV-L1 pyramid level for a batch of frame pairs. i0, i1, u, v:
-    f32[N, H, W]; returns updated (u, v)."""
+    f32[N, H, W]; returns updated (u, v).
+
+    pairs_per_program (G) processes G pairs per Pallas grid program,
+    vectorized on the leading block axis — the window rolls and all VPU ops
+    amortize across the G pairs, cutting per-program dispatch overhead (the
+    measured cost floor at G=1)."""
     n, h, w = i0.shape
+    g = pairs_per_program
     hp = _round_up(h, 8)
     wp = _round_up(w, 128)
     pad = max_disp + 1
+    n_pad = _round_up(n, g)
 
     def pad_plain(x):
-        return jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+        return jnp.pad(x, ((0, n_pad - n), (0, hp - h), (0, wp - w)),
+                       mode="edge")
 
     def pad_window(x):
         # top/left margin exactly `pad`; bottom/right at least `pad`,
         # rounded so the padded array is (8, 128)-tile aligned for rolls
         hh = _round_up(h + 2 * pad, 8)
         ww = _round_up(w + 2 * pad, 128)
-        return jnp.pad(x, ((0, 0), (pad, hh - h - pad), (pad, ww - w - pad)),
-                       mode="edge")
+        return jnp.pad(x, ((0, n_pad - n), (pad, hh - h - pad),
+                           (pad, ww - w - pad)), mode="edge")
 
     i1x, i1y = _centered_grad_batch(i1)
     i0p = pad_plain(i0)
@@ -278,33 +293,34 @@ def tvl1_level_pallas(i0, i1, u, v, p: TVL1Params = TVL1Params(),
 
     hh = _round_up(h + 2 * pad, 8)
     ww = _round_up(w + 2 * pad, 128)
-    spec = pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+    spec = pl.BlockSpec((g, hp, wp), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    spec_padded = pl.BlockSpec((1, hh, ww), lambda i: (i, 0, 0),
+    spec_padded = pl.BlockSpec((g, hh, ww), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     out_u, out_v = pl.pallas_call(
         functools.partial(_level_kernel, p=p, d=max_disp),
-        grid=(n,),
+        grid=(n_pad // g,),
         in_specs=[spec, spec_padded, spec_padded, spec_padded, spec, spec],
         out_specs=[spec, spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((n, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, hp, wp), jnp.float32),
         ],
     )(i0p, i1p, i1xp, i1yp, up, vp)
-    return out_u[:, :h, :w], out_v[:, :h, :w]
+    return out_u[:n, :h, :w], out_v[:n, :h, :w]
 
 
 def _resize2(img, hw):
     return jax.image.resize(img, img.shape[:-2] + hw, method="linear")
 
 
-@functools.partial(jax.jit, static_argnames=("p", "max_disp"))
+@functools.partial(jax.jit, static_argnames=("p", "max_disp", "pairs_per_program"))
 def tvl1_flow_pallas(
     I0: jax.Array,  # f32 [N, H, W] in [0, 1]
     I1: jax.Array,
     p: TVL1Params = TVL1Params(),
     max_disp: int = 8,
+    pairs_per_program: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Full pyramidal TV-L1 using the Pallas level kernel. The shift window
     shrinks with pyramid scale (flow magnitude scales with resolution)."""
@@ -324,7 +340,8 @@ def tvl1_flow_pallas(
     for i in reversed(range(len(shapes))):
         d = max(2, round(max_disp * p.scale_step ** i))
         p_level = _dc.replace(p, n_warps=p.warps_at_level(i))
-        u, v = tvl1_level_pallas(pyr0[i], pyr1[i], u, v, p_level, d)
+        u, v = tvl1_level_pallas(pyr0[i], pyr1[i], u, v, p_level, d,
+                                 pairs_per_program)
         if i > 0:
             inv = 1.0 / p.scale_step
             u = _resize2(u, shapes[i - 1]) * inv
@@ -332,13 +349,16 @@ def tvl1_flow_pallas(
     return u, v
 
 
-@functools.partial(jax.jit, static_argnames=("p", "max_disp", "coarse_hw"))
+@functools.partial(jax.jit,
+                   static_argnames=("p", "max_disp", "coarse_hw",
+                                    "pairs_per_program"))
 def tvl1_warped_flow_pallas(
     I0: jax.Array,
     I1: jax.Array,
     p: TVL1Params = TVL1Params(),
     max_disp: int = 8,
     coarse_hw: tuple[int, int] = (64, 96),
+    pairs_per_program: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Warped (camera-motion-compensated) variant on the Pallas path.
 
@@ -365,10 +385,12 @@ def tvl1_warped_flow_pallas(
     c1t = jax.vmap(roll_one)(c1, t)
     coarse = TVL1Params(n_scales=2, n_warps=2, n_iters=15,
                         scale_step=p.scale_step)
-    cu, cv = tvl1_flow_pallas(c0, c1t, coarse, max_disp=4)
+    cu, cv = tvl1_flow_pallas(c0, c1t, coarse, max_disp=4,
+                              pairs_per_program=pairs_per_program)
     # total coarse-res flow = residual + integer translation; fit the affine
     # in full-res pixels
     A = estimate_affine_batch((cu + t[:, 0, None, None]) * sx,
                               (cv + t[:, 1, None, None]) * sy)
     i1w = _affine_warp_rollwindow(I1, A, d=4)
-    return tvl1_flow_pallas(I0, i1w, p, max_disp=max_disp)
+    return tvl1_flow_pallas(I0, i1w, p, max_disp=max_disp,
+                            pairs_per_program=pairs_per_program)

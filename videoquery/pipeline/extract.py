@@ -72,7 +72,9 @@ def _clip_flow(gray: jax.Array, bound: float, warped: bool,
             tvl1_warped_flow_pallas,
         )
 
-        flow_fn = tvl1_warped_flow_pallas if warped else tvl1_flow_pallas
+        flow_fn = functools.partial(
+            tvl1_warped_flow_pallas if warped else tvl1_flow_pallas,
+            pairs_per_program=4)
     else:
         flow_fn = tvl1_warped_flow if warped else tvl1_flow
     u, v = flow_fn(i0, i1, tvl1)
@@ -105,7 +107,8 @@ def _pair_flow(gray: jax.Array, pair_idx: jax.Array, bound: float,
     i1 = jnp.take(gray, pair_idx + 1, axis=1)
     p = pair_idx.shape[0]
     flow_fn = tvl1_warped_flow_pallas if warped else tvl1_flow_pallas
-    u, v = flow_fn(i0.reshape(b * p, h, w), i1.reshape(b * p, h, w), tvl1)
+    u, v = flow_fn(i0.reshape(b * p, h, w), i1.reshape(b * p, h, w), tvl1,
+                   pairs_per_program=4)
     uv = jnp.stack([u * value_scale[0], v * value_scale[1]], axis=-1)
     return quantize_flow(uv.reshape(b, p, h, w, 2), bound)
 
