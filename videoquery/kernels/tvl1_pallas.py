@@ -254,6 +254,19 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _auto_pairs(hp: int, wp: int, hh: int, ww: int, requested: int) -> int:
+    """Cap pairs-per-program so the kernel's VMEM working set fits.
+    Live-set model calibrated against Mosaic's measured stack accounting
+    (17.78 MB at G=4, hp=128 wp=256 hh=152 ww=256): ~24 plain [hp, wp]
+    arrays (u/v/duals/warped/grads/temps incl. Mosaic spills) + 8
+    window-padded [hh, ww] arrays, f32, against a 12 MB budget (16 MB VMEM
+    minus pipeline slack)."""
+    per_pair = (24 * hp * wp + 8 * hh * ww) * 4
+    budget = 12 * 1024 * 1024
+    g = max(1, min(requested, budget // max(per_pair, 1)))
+    return g
+
+
 @functools.partial(jax.jit, static_argnames=("p", "max_disp", "pairs_per_program"))
 def tvl1_level_pallas(i0, i1, u, v, p: TVL1Params = TVL1Params(),
                       max_disp: int = 8, pairs_per_program: int = 1):
@@ -265,10 +278,11 @@ def tvl1_level_pallas(i0, i1, u, v, p: TVL1Params = TVL1Params(),
     amortize across the G pairs, cutting per-program dispatch overhead (the
     measured cost floor at G=1)."""
     n, h, w = i0.shape
-    g = pairs_per_program
     hp = _round_up(h, 8)
     wp = _round_up(w, 128)
     pad = max_disp + 1
+    g = _auto_pairs(hp, wp, _round_up(h + 2 * pad, 8),
+                    _round_up(w + 2 * pad, 128), pairs_per_program)
     n_pad = _round_up(n, g)
 
     def pad_plain(x):
