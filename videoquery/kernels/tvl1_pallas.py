@@ -201,6 +201,7 @@ def window_warp_pallas(img, u, v, d: int = 4):
         in_specs=[specp, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((n, hp, wp), jnp.float32),
+        compiler_params=_VMEM_HEADROOM,
     )(imgp, up, vp)
     return out[:, :h, :w]
 
@@ -252,6 +253,13 @@ def _centered_grad_batch(img):
 
 def _round_up(x, m):
     return -(-x // m) * m
+
+
+# The auto-pairs model targets 12 MB so double-buffering headroom remains,
+# but raise Mosaic's hard scoped-VMEM ceiling (default 16 MB; v5e has 128 MB
+# physical VMEM) so model misses and large full-res grids degrade to worse
+# pipelining instead of failing compile.
+_VMEM_HEADROOM = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _auto_pairs(hp: int, wp: int, hh: int, ww: int, requested: int) -> int:
@@ -313,6 +321,7 @@ def tvl1_level_pallas(i0, i1, u, v, p: TVL1Params = TVL1Params(),
                                memory_space=pltpu.VMEM)
     out_u, out_v = pl.pallas_call(
         functools.partial(_level_kernel, p=p, d=max_disp),
+        compiler_params=_VMEM_HEADROOM,
         grid=(n_pad // g,),
         in_specs=[spec, spec_padded, spec_padded, spec_padded, spec, spec],
         out_specs=[spec, spec],
