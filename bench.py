@@ -31,7 +31,8 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 4,
                      frames_per_clip: int = 150, hw=(256, 340),
                      num_ticks: int = 25, splits=(1, 2, 3),
                      flow_scales: int = 5, flow_warps: int = 5,
-                     flow_iters: int = 30, flow_res_div: int = 2,
+                     flow_iters: int = 20, flow_fine_iters: int = 15,
+                     flow_res_div: int = 2,
                      dtype: str = "bfloat16") -> float:
     import jax
     import jax.numpy as jnp
@@ -45,7 +46,8 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 4,
     log(f"[extract] building TSN ensemble (splits={splits}, dtype={dtype})")
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=splits, dtype=jnp.dtype(dtype))
     tvl1 = TVL1Params(n_scales=flow_scales, n_warps=flow_warps,
-                      n_iters=flow_iters, fine_warps=2)
+                      n_iters=flow_iters, fine_warps=2,
+                      fine_iters=flow_fine_iters)
 
     rng = np.random.default_rng(0)
     frames_np = rng.integers(0, 255,

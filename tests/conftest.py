@@ -33,7 +33,13 @@ import numpy as np
 import pytest
 
 
-REFERENCE_FIXTURES = "/root/reference/data/features"
+# Ground-truth embedding fixtures: vendored copy of the reference's C17
+# sample data (tests/data/README.md). The env mount is only a fallback so
+# the fixtures can be re-diffed against the original.
+_VENDORED = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "data", "features")
+REFERENCE_FIXTURES = (_VENDORED if os.path.isdir(_VENDORED)
+                      else "/root/reference/data/features")
 
 
 @pytest.fixture

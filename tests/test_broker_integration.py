@@ -23,7 +23,7 @@ from videoquery.service.compute_matches import compute_matches
 from videoquery.service.repository import APIRepository
 from videoquery.testing.fake_api import FakeAPI, FakeClient
 
-REF_ROOT = "/root/reference/data/features"
+from conftest import REFERENCE_FIXTURES as REF_ROOT
 STREAMS = ("rgb", "warped_optical_flow")
 
 

@@ -12,7 +12,7 @@ from videoquery.index.csvio import (
 )
 from videoquery.index.store import FeatureIndex, FeatureRecord
 
-REF_ROOT = "/root/reference/data/features"
+from conftest import REFERENCE_FIXTURES as REF_ROOT
 
 
 def test_index_build_and_padding(rng):

@@ -20,16 +20,56 @@ def make_texture(rng, h, w):
 
 
 def test_window_warp_matches_bilinear(rng):
+    """Full (non-separable) window warp is exact bilinear for ANY flow."""
     from videoquery.kernels.tvl1_pallas import window_warp_pallas
 
     img = make_texture(rng, 32, 128)
     u = jnp.asarray(rng.uniform(-3, 3, (32, 128)), jnp.float32)
     v = jnp.asarray(rng.uniform(-3, 3, (32, 128)), jnp.float32)
     with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(window_warp_pallas(img[None], u[None], v[None], d=4)[0])
+        got = np.asarray(window_warp_pallas(img[None], u[None], v[None], d=4,
+                                            separable=False)[0])
     want = np.asarray(bilinear_warp(img, u, v))
     np.testing.assert_allclose(got[4:-4, 4:-4], want[4:-4, 4:-4],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_separable_window_warp_smooth_flow(rng):
+    """The factorized (2*nwin-term) warp matches exact bilinear wherever the
+    flow is smooth — the regime the TV prior guarantees."""
+    from videoquery.kernels.tvl1_pallas import window_warp_pallas
+
+    img = make_texture(rng, 32, 128)
+    v = (jnp.linspace(-2, 2, 32)[:, None] * jnp.ones((1, 128))).astype(jnp.float32)
+    u = (jnp.ones((32, 1)) * jnp.linspace(-2.5, 2.5, 128)[None]).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(window_warp_pallas(img[None], u[None], v[None], d=4,
+                                            separable=True)[0])
+    want = np.asarray(bilinear_warp(img, u, v))
+    np.testing.assert_allclose(got[4:-4, 4:-4], want[4:-4, 4:-4],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_separable_equals_full_for_constant_flow(rng):
+    """Level kernel: separable == full window warp when the flow is constant
+    over the window (weights factor exactly)."""
+    import dataclasses
+
+    from videoquery.kernels.tvl1_pallas import tvl1_level_pallas
+
+    i0 = make_texture(rng, 32, 128)[None]
+    i1 = make_texture(rng, 32, 128)[None]
+    u = jnp.full((1, 32, 128), 1.3, jnp.float32)
+    v = jnp.full((1, 32, 128), -0.7, jnp.float32)
+    pf = TVL1Params(n_scales=1, n_warps=1, n_iters=4, separable_warp=False)
+    ps = dataclasses.replace(pf, separable_warp=True)
+    with pltpu.force_tpu_interpret_mode():
+        uf, vf = tvl1_level_pallas(i0, i1, u, v, pf, 6, 1)
+        us, vs = tvl1_level_pallas(i0, i1, u, v, ps, 6, 1)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(uf),
+                               rtol=1e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vf),
+                               rtol=1e-5, atol=2e-6)
 
 
 def test_level_kernel_matches_xla_reference(rng):
@@ -40,7 +80,7 @@ def test_level_kernel_matches_xla_reference(rng):
     I0, I1 = img[None], moved[None]
     u0 = jnp.zeros((1, 32, 128))
     v0 = jnp.zeros((1, 32, 128))
-    p = TVL1Params(n_scales=1, n_warps=2, n_iters=8)
+    p = TVL1Params(n_scales=1, n_warps=2, n_iters=8, separable_warp=False)
     ux, vx = jax.vmap(lambda a, b, c, d: _tvl1_level(a, b, c, d, p))(I0, I1, u0, v0)
     with pltpu.force_tpu_interpret_mode():
         up, vp = tvl1_level_pallas(I0, I1, u0, v0, p, max_disp=4)
@@ -65,8 +105,9 @@ def test_affine_rollwindow_matches_gather_warp(rng):
         got = np.asarray(_affine_warp_rollwindow(img[None], A, d=4)[0])
     eye = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]])
     want = np.asarray(warp_affine(img, A[0] + eye))
+    # separable warp (production default): O(d*|dflow|) factorization error
     np.testing.assert_allclose(got[8:-8, 12:-12], want[8:-8, 12:-12],
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-4, atol=5e-4)
 
 
 def test_pyramid_pallas_recovers_translation(rng):

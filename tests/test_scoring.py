@@ -1,7 +1,11 @@
 """Batched similarity/scoring vs the dict-and-loop oracle."""
 
+import os
+
 import numpy as np
 import pytest
+
+from conftest import REFERENCE_FIXTURES
 
 from videoquery.index.store import FeatureIndex, FeatureRecord
 from videoquery.search.engine import SearchEngine
@@ -109,7 +113,7 @@ def test_reference_fixture_self_similarity_exact():
     from videoquery.search.target import scale_feature
 
     records, ref_vecs = _load_reference_fixture(
-        "/root/reference/data/features/stock-video-clips_features"
+        os.path.join(REFERENCE_FIXTURES, "stock-video-clips_features")
     )
     streams = ("rgb", "warped_optical_flow")
     index = FeatureIndex.build(records, streams, feature_dim=1024, keep_host=True)
@@ -129,7 +133,7 @@ def test_reference_fixture_device_vs_exact_ranking():
     from videoquery.search.target import scale_feature
 
     records, ref_vecs = _load_reference_fixture(
-        "/root/reference/data/features/stock-video-clips_features"
+        os.path.join(REFERENCE_FIXTURES, "stock-video-clips_features")
     )
     streams = ("rgb", "warped_optical_flow")
     index = FeatureIndex.build(records, streams, feature_dim=1024, keep_host=True)
@@ -145,3 +149,37 @@ def test_reference_fixture_device_vs_exact_ranking():
     rank_fast = sorted(fast, key=lambda c: (-fast[c], c))
     rank_exact = sorted(exact, key=lambda c: (-exact[c], c))
     assert rank_fast[:10] == rank_exact[:10]
+
+
+def test_golden_topk_snapshot():
+    """Frozen float64 top-10 over the vendored corpus: any numerics change
+    in the exact engine or the CSV reader breaks this, loudly (it FAILS
+    rather than skips — the snapshot and fixtures ship with the repo)."""
+    import json
+
+    from videoquery.search.target import scale_feature
+
+    snap_path = os.path.join(os.path.dirname(REFERENCE_FIXTURES),
+                             "golden_topk.json")
+    with open(snap_path) as f:
+        snap = json.load(f)
+    records, ref_vecs = [], {}
+    from videoquery.index.csvio import read_feature_tree
+
+    root = os.path.join(REFERENCE_FIXTURES, snap["corpus"])
+    for video, split, csvf in read_feature_tree(root):
+        for clip_no, vec in zip(csvf.clip_numbers, csvf.features):
+            records.append(FeatureRecord(int(clip_no), csvf.stream, split,
+                                         csvf.feature_blob, vec))
+            if clip_no == snap["target_clip"]:
+                ref_vecs.setdefault(csvf.stream, {})[split] = vec
+    streams = ("rgb", "warped_optical_flow")
+    index = FeatureIndex.build(records, streams, feature_dim=1024,
+                               keep_host=True)
+    target = {s: {k: scale_feature(v) for k, v in kd.items()}
+              for s, kd in ref_vecs.items()}
+    scores = SearchEngine(index, exact=True).compute_similarities(
+        target).scores(snap["weights"])
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [{"clip": int(c), "score": repr(float(s))} for c, s in top]
+    assert got == snap["top10"]

@@ -27,6 +27,11 @@ MOTION_CLASSES = [  # (object velocity, camera pan) — strongly distinct
     ((0.0, -3.0), (0.0, 0.0)),   # up
     ((0.0, 0.0), (0.0, 0.0)),    # static
     ((2.5, 2.5), (1.5, 0.0)),    # diagonal + pan (tests compensation)
+    ((12.0, 0.0), (0.0, 0.0)),   # very fast right: >10 px/frame foreground,
+                                 # near the reference's ±20 px quantization
+                                 # bound (build_wof_clips.py:70-73)
+    ((0.0, -9.0), (2.0, 0.0)),   # fast up + pan (fast motion under
+                                 # camera compensation)
 ]
 
 
@@ -104,6 +109,13 @@ def main():
     from videoquery.kernels.tvl1 import TVL1Params
     from videoquery.nn.tsn import TwoStreamTSN
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", action="store_true",
+                    help="also sweep reduced-iteration candidate configs")
+    args = ap.parse_args()
+
     clips, labels = make_corpus()
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=(1,))
     configs = {
@@ -112,6 +124,20 @@ def main():
         "pallas half-res (production)": ("pallas", TVL1Params(fine_warps=2), 2),
         "pallas quarter-res": ("pallas", TVL1Params(fine_warps=2), 4),
     }
+    if args.sweep:
+        configs.update({
+            "half-res fine_iters=15": (
+                "pallas", TVL1Params(fine_warps=2, fine_iters=15), 2),
+            "half-res fine_iters=10": (
+                "pallas", TVL1Params(fine_warps=2, fine_iters=10), 2),
+            "half-res i20 fine_i15": (
+                "pallas", TVL1Params(fine_warps=2, n_iters=20, fine_iters=15), 2),
+            "half-res w3 i20 fine_i10": (
+                "pallas", TVL1Params(n_warps=3, fine_warps=2, n_iters=20,
+                                     fine_iters=10), 2),
+            "half-res full-window (no separable)": (
+                "pallas", TVL1Params(fine_warps=2, separable_warp=False), 2),
+        })
     results = {}
     for name, (impl, tvl1, div) in configs.items():
         t0 = time.time()

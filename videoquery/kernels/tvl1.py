@@ -46,11 +46,30 @@ class TVL1Params:
     # levels have already converged the large motion; 2 fine warps is ~2.3x
     # faster at equal recovered-flow quality on the Pallas path.
     fine_warps: int | None = None
+    # Primal-dual iterations at the finest 2 pyramid levels (None = n_iters).
+    # Fine levels start from an already-converged upsampled coarse flow, so
+    # they need fewer iterations; the inner loop is the VPU-bound hot path.
+    fine_iters: int | None = None
+    # Pallas path only: factorize the bilinear window warp into a vertical
+    # then a horizontal pass (2*nwin roll terms instead of nwin^2). Exact
+    # where the flow is locally constant over the window; the TV prior keeps
+    # it that way almost everywhere (validated at retrieval level by
+    # tools/flow_quality.py). The XLA path always uses exact gathers.
+    separable_warp: bool = True
 
     def warps_at_level(self, level: int) -> int:
         if self.fine_warps is not None and level < 2:
             return min(self.n_warps, self.fine_warps)
         return self.n_warps
+
+    def iters_at_level(self, level: int) -> int:
+        if self.fine_iters is not None and level < 2:
+            return min(self.n_iters, self.fine_iters)
+        return self.n_iters
+
+    def at_level(self, level: int) -> "TVL1Params":
+        return dataclasses.replace(self, n_warps=self.warps_at_level(level),
+                                   n_iters=self.iters_at_level(level))
 
 
 def _forward_diff(f: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -165,8 +184,7 @@ def _tvl1_single(I0: jax.Array, I1: jax.Array, p: TVL1Params):
     u = jnp.zeros(shapes[-1], jnp.float32)
     v = jnp.zeros(shapes[-1], jnp.float32)
     for i in reversed(range(len(shapes))):
-        p_level = dataclasses.replace(p, n_warps=p.warps_at_level(i))
-        u, v = _tvl1_level(pyr0[i], pyr1[i], u, v, p_level)
+        u, v = _tvl1_level(pyr0[i], pyr1[i], u, v, p.at_level(i))
         if i > 0:
             inv = 1.0 / p.scale_step
             u = _resize2(u, shapes[i - 1]) * inv

@@ -257,7 +257,11 @@ class Extractor:
         self.cfg = cfg or ExtractionConfig()
         self.warped = warped
         self.dtype = dtype
-        self.tvl1 = tvl1 or TVL1Params(fine_warps=2)
+        # production flow schedule: 2 warps + 15 iters at the finest two
+        # levels, 20 iters coarse — validated ≥ the full 5w/30i schedule on
+        # motion-partner retrieval incl. >10 px/frame scenes
+        # (tools/flow_quality.py --sweep)
+        self.tvl1 = tvl1 or TVL1Params(fine_warps=2, n_iters=20, fine_iters=15)
         self.flow_impl = flow_impl or default_flow_impl()
         self.flow_res_div = self.cfg.flow_res_div
         self.mesh = mesh

@@ -142,7 +142,10 @@ def process_job(
         )
 
     if index_cache is not None:
-        key = (ticket.search_set, tuple(hp.streams), tuple(sorted(ref_splits)),
+        # version-keyed: a search set that grew between rounds changes its
+        # version (one cheap read), so stale candidates are never served
+        key = (ticket.search_set, ticket.search_set_version(),
+               tuple(hp.streams), tuple(sorted(ref_splits)),
                hp.feature_name, exact)
         index = index_cache.get(key, build_index)
     else:

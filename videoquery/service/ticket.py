@@ -125,6 +125,26 @@ class Ticket:
                 )
         return records
 
+    def search_set_version(self):
+        """Cheap per-round staleness signal for the index cache: one
+        search-set read (the reference refetched the whole feature set every
+        round, ticket.py:358-382; we only refetch when this changes). Uses
+        whatever version-ish field the API exposes; None disables
+        version-keying (TTL still bounds staleness)."""
+        try:
+            row = self.client.action(
+                ["search-sets", "read"], {"id": self.search_set}
+            )
+        except Exception:  # noqa: BLE001 — version signal is best-effort
+            return None
+        for key in ("updated_at", "etag", "feature_count", "version"):
+            if row.get(key) is not None:
+                return row[key]
+        for key in ("clip_ids", "video_clips", "clips"):
+            if isinstance(row.get(key), (list, tuple)):
+                return len(row[key])
+        return None
+
     def clip_features(self, clip_id: int, hp: HyperParams) -> tuple[dict, set[int]]:
         """{stream: {split: vector}} for one clip + its splits
         (reference target_clip.py:263-286)."""
