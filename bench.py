@@ -93,6 +93,58 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 4,
     return rate
 
 
+def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
+              splits=(1, 2, 3)) -> tuple[float, float]:
+    """The honest production number: video FILE -> feature CSVs, wall clock
+    including host decode (the headline extract mode feeds in-memory
+    frames). Decode overlaps device compute via Extractor.extract_video_
+    stream; on few-core hosts the pipeline is decode-bound (cv2 ~130 fps/
+    core at this resolution — a production host needs ~1 core per 120 fps
+    of target throughput, or hardware decode upstream)."""
+    import tempfile
+
+    import jax
+
+    from videoquery.core.config import ExtractionConfig
+    from videoquery.nn.tsn import TwoStreamTSN
+    from videoquery.pipeline import decode
+    from videoquery.pipeline.extract import Extractor
+
+    tmp = tempfile.mkdtemp(prefix="vq_e2e_")
+    video = os.path.join(tmp, "bench.mp4")
+    log(f"[e2e] synthesizing {n_frames}-frame {hw[0]}x{hw[1]} mp4...")
+    decode.synthesize_video(video, n_frames=n_frames, size=hw)
+
+    t0 = time.time()
+    frames = decode.load_video_parallel(video)
+    decode_s = time.time() - t0
+    log(f"[e2e] decode-only: {len(frames)} frames in {decode_s:.2f}s "
+        f"({len(frames)/decode_s:.0f} fps, "
+        f"{len(frames)/150/decode_s:.2f} clips/s ceiling)")
+    del frames
+
+    log(f"[e2e] building TSN ensemble (splits={splits})")
+    tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=splits,
+                              dtype=jax.numpy.bfloat16)
+    ex = Extractor(tsn, ExtractionConfig(batch_clips=batch_clips),
+                   dtype="bfloat16")
+    # warm the compile caches off the clock (same geometry as the real run)
+    warm = ex.extract_video_stream(video)
+    n_clips = sum(len(s.clip_numbers) for s in warm)
+
+    t0 = time.time()
+    sigs = ex.extract_video_stream(video)
+    ex.write_csv_tree(sigs, tmp, "bench", video)
+    dt = time.time() - t0
+    rate = n_clips / dt
+    log(f"[e2e] video file -> CSVs: {n_clips} clips in {dt:.2f}s = "
+        f"{rate:.2f} clips/s (decode-overlapped)")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return rate, len(warm) and n_clips / decode_s
+
+
 def bench_query(n_segments: int = 1_000_000, dim: int = 1024, q: int = 16,
                 k: int = 20, splits: int = 3, streams: int = 2,
                 dtype: str = "bfloat16", repeats: int = 20) -> float:
@@ -252,7 +304,8 @@ def main():
     setup_jax()  # persistent compile cache: repeat runs skip 30-60s compiles
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="both",
-                    choices=["extract", "query", "round", "ingest", "both"])
+                    choices=["extract", "query", "round", "ingest", "both",
+                             "e2e"])
     ap.add_argument("--segments", type=int, default=1_000_000)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--batch_clips", type=int, default=4)
@@ -282,6 +335,15 @@ def main():
             "value": round(rows_per_s, 1),
             "unit": "rows/s",
             "vs_baseline": None,
+        }))
+        return
+    if args.mode == "e2e":
+        rate, _ = bench_e2e(batch_clips=args.batch_clips)
+        print(json.dumps({
+            "metric": "e2e_video_file_to_csvs_throughput",
+            "value": round(rate, 3),
+            "unit": "clips/s/chip",
+            "vs_baseline": round(rate / 1000.0, 4),
         }))
         return
     if args.mode == "round":

@@ -96,7 +96,8 @@ def test_new_job_round(fixture_api_template):
     assert ref_match and abs(ref_match[0]["score"] - 1.0) < 1e-9
 
 
-def run_full_lifecycle(api, videos, clip_ids, dyn, bootstrap_type="bagging"):
+def run_full_lifecycle(api, videos, clip_ids, dyn, bootstrap_type="bagging",
+                       exact=True):
     import dataclasses
 
     query = fresh_query(api, videos, clip_ids, dyn=dyn)
@@ -104,7 +105,7 @@ def run_full_lifecycle(api, videos, clip_ids, dyn, bootstrap_type="bagging"):
     repo = make_repo(api)
     rng = random.Random(1)
 
-    compute_matches(repo, hp, rng=rng, exact=True)
+    compute_matches(repo, hp, rng=rng, exact=exact)
     assert api.queries[query["id"]]["process_state"] == STATE_PROCESSED
 
     # the user reviews: mark the ref clip + best two as matches, worst as not
@@ -121,7 +122,7 @@ def run_full_lifecycle(api, videos, clip_ids, dyn, bootstrap_type="bagging"):
     api.set_user_match(round_matches[-1]["id"], False)
     api.request_revision(query["id"])
 
-    compute_matches(repo, hp, rng=rng, exact=True)
+    compute_matches(repo, hp, rng=rng, exact=exact)
     assert api.queries[query["id"]]["process_state"] == STATE_PROCESSED
     r2 = max(
         (r for r in api.query_results.values() if r["query"] == query["id"]),
@@ -139,7 +140,7 @@ def run_full_lifecycle(api, videos, clip_ids, dyn, bootstrap_type="bagging"):
     )
     api.set_user_match(round2_matches[0]["id"], True)
     api.request_finalize(query["id"])
-    compute_matches(repo, hp, rng=rng, exact=True)
+    compute_matches(repo, hp, rng=rng, exact=exact)
     assert api.queries[query["id"]]["process_state"] == STATE_FINALIZED
     assert query["id"] in api.uploaded_reports
     report = api.uploaded_reports[query["id"]]
@@ -351,3 +352,75 @@ def test_add_note_accumulates(fixture_api_template):
     assert api.queries[ticket.query_id]["notes"] == "first\n\nsecond"
     # restore state so other tests' polls don't pick this query up oddly
     api.queries[query["id"]]["process_state"] = STATE_PROCESSED
+
+
+def test_full_lifecycle_device_f32_path(fixture_api_template, tmp_path,
+                                        monkeypatch):
+    """The serving default (f32 device similarity) through the whole
+    new->revise->finalize service flow — previously only the exact=True
+    float64 path was exercised end-to-end."""
+    api, videos, clip_ids = fixture_api_template
+    monkeypatch.chdir(tmp_path)
+    run_full_lifecycle(api, videos, clip_ids, dyn=False, exact=False)
+
+
+def test_device_and_exact_paths_select_identical_matches(fixture_api_template):
+    """One new-job round per numerics path over the same corpus + seed: the
+    f32 device path must select the same match set as the float64 path."""
+    api, videos, clip_ids = fixture_api_template
+    hp = HyperParams()
+    selected = {}
+    for exact in (True, False):
+        query = fresh_query(api, videos, clip_ids)
+        compute_matches(make_repo(api), hp, rng=random.Random(7), exact=exact)
+        assert api.queries[query["id"]]["process_state"] == STATE_PROCESSED
+        result = max(
+            (r for r in api.query_results.values() if r["query"] == query["id"]),
+            key=lambda r: r["round"],
+        )
+        ms = {m["video_clip"]: m["score"] for m in api.matches.values()
+              if m["query_result"] == result["id"]}
+        selected[exact] = ms
+    assert set(selected[True]) == set(selected[False])
+    for clip, s_exact in selected[True].items():
+        assert abs(s_exact - selected[False][clip]) < 1e-4, clip
+
+
+def test_search_set_cache_invalidated_when_set_grows(fixture_api_template):
+    """A search set that grows between rounds must NOT serve stale
+    candidates: the cache key includes a per-round version signal (one cheap
+    search-set read — the reference refetched everything every round,
+    ticket.py:358-382)."""
+    from videoquery.service.compute_matches import SearchSetCache
+
+    api, videos, clip_ids = fixture_api_template
+    query = fresh_query(api, videos, clip_ids)
+    repo = make_repo(api)
+    cache = SearchSetCache(ttl_seconds=3600)
+    hp = HyperParams()
+
+    compute_matches(repo, hp, rng=random.Random(0), exact=True,
+                    index_cache=cache)
+    assert api.queries[query["id"]]["process_state"] == STATE_PROCESSED
+
+    # a new clip — an exact copy of the reference clip — joins the search
+    # set between rounds; it MUST appear as a match in the next round
+    video = next(iter(videos.values()))
+    ref_id = query["ref_clip_id"]
+    new_clip = api.add_clip(video["id"], 9999)
+    for f in [f for f in api.features.values() if f["video_clip"] == ref_id]:
+        api.add_feature(new_clip["id"], f["dnn_stream"],
+                        f["dnn_stream_split"], f["feature_vector"])
+    api.search_sets[query["search_set_to_query"]]["clip_ids"].append(
+        new_clip["id"])
+
+    api.request_revision(query["id"])
+    compute_matches(repo, hp, rng=random.Random(0), exact=True,
+                    index_cache=cache)
+    result = max(
+        (r for r in api.query_results.values() if r["query"] == query["id"]),
+        key=lambda r: r["round"],
+    )
+    clips = {m["video_clip"] for m in api.matches.values()
+             if m["query_result"] == result["id"]}
+    assert new_clip["id"] in clips  # stale cache would miss it

@@ -299,3 +299,114 @@ def test_convert_cli_roundtrip(tmp_path, rng):
     x = jnp.ones((1, 64, 64, 3))
     emb = bn_inception.embed_jit(jax.tree.map(jnp.asarray, params), x)
     assert emb.shape == (1, 1024)
+
+
+@pytest.mark.parametrize("stream,cin", [("rgb", 3), ("flow", 10)])
+def test_prototxt_executor_matches_transcription(stream, cin, rng):
+    """Run the ACTUAL reference deploy graph (prototxt-driven executor) and
+    the hand-transcribed bn_inception.apply with identical params: outputs
+    must match to float tolerance — connectivity/stride/pad/pool-mode drift
+    in the transcription cannot hide."""
+    import os
+
+    from videoquery.nn.prototxt_net import apply_prototxt
+
+    path = REF_PROTO.format(stream)
+    if not os.path.exists(path):
+        pytest.skip("reference prototxt unavailable")
+    params = bn_inception.init_params(3, in_channels=cin)
+    params = jax.tree.map(jnp.asarray, params)
+    x = jnp.asarray(rng.normal(size=(1, 224, 224, cin)) * 0.5, jnp.float32)
+    want = bn_inception.forward(params, x)
+    got = jax.jit(lambda p, x: apply_prototxt(path, p, x))(params, x)
+    np.testing.assert_allclose(np.asarray(got["global_pool"]),
+                               np.asarray(want["global_pool"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["fc-action"]),
+                               np.asarray(want["fc-action"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+# -- V1LayerParameter (legacy `layers`) format --------------------------------
+# Old Caffe saves (the era of the TSN caffemodels) use NetParameter field 2
+# with V1LayerParameter {bottom=2, top=3, name=4, type=5 enum, blobs=6} and
+# legacy BlobProto dims {num=1, channels=2, height=3, width=4} + packed
+# float data (field 5). convert_caffe must read this layout unchanged.
+
+def _scalar_field(field, n):
+    return _varint((field << 3) | 0) + _varint(n)
+
+
+def _blob_v1(arr):
+    """Legacy 4-D dims + packed float data, no BlobShape submessage."""
+    a = np.asarray(arr, "<f4")
+    dims = list(a.shape)
+    while len(dims) < 4:
+        dims.insert(0, 1)  # caffe legacy blobs are always 4-d (1-padded)
+    payload = b"".join(_scalar_field(i + 1, d) for i, d in enumerate(dims))
+    return payload + _len_field(5, a.ravel().tobytes())
+
+
+def _layer_v1(name, type_enum, blobs, bottom="x", top="y"):
+    payload = _len_field(2, bottom.encode()) + _len_field(3, top.encode())
+    payload += _len_field(4, name.encode())
+    payload += _scalar_field(5, type_enum)  # V1 type is an enum varint
+    for b in blobs:
+        payload += _len_field(6, _blob_v1(b))
+    return _len_field(2, payload)  # NetParameter.layers (V1) = field 2
+
+
+def test_read_v1_caffemodel_layout(tmp_path, rng):
+    """Realistic V1 blob layout: packed float data, legacy 1-padded 4-d
+    dims, enum layer types, bottom/top strings before the name field."""
+    from videoquery.nn.convert_caffe import read_caffemodel
+
+    w = rng.normal(size=(8, 4, 3, 3)).astype(np.float32)
+    b = rng.normal(size=(8,)).astype(np.float32)           # dims (1,1,1,8)
+    fc = rng.normal(size=(101, 1024)).astype(np.float32)   # dims (1,1,101,1024)
+    raw = (_len_field(1, b"net")                            # NetParameter.name
+           + _layer_v1("conv1/7x7_s2", 4, [w, b])           # CONVOLUTION=4
+           + _layer_v1("fc-action", 14, [fc, np.zeros(101, np.float32)]))
+    path = tmp_path / "v1.caffemodel"
+    path.write_bytes(raw)
+    layers = read_caffemodel(str(path))
+    assert set(layers) == {"conv1/7x7_s2", "fc-action"}
+    np.testing.assert_array_equal(
+        layers["conv1/7x7_s2"][0].reshape(8, 4, 3, 3), w)
+    # legacy dims surface as the 1-padded 4-d shape
+    assert layers["conv1/7x7_s2"][1].shape in ((1, 1, 1, 8), (8,))
+    np.testing.assert_array_equal(layers["conv1/7x7_s2"][1].reshape(8), b)
+    np.testing.assert_array_equal(layers["fc-action"][0].reshape(101, 1024), fc)
+
+
+def test_convert_v1_full_net(tmp_path, rng):
+    """Full synthetic V1-format caffemodel through convert(): same result as
+    the modern layout (the two serializations must be interchangeable)."""
+    from videoquery.nn.convert_caffe import convert
+
+    raw_v1 = b""
+    raw_v2 = b""
+    shapes = bn_inception.conv_shapes(in_channels=3)
+    for name, (kh, kw, cin, cout) in shapes.items():
+        w = rng.normal(size=(cout, cin, kh, kw)).astype(np.float32) * 0.05
+        b = rng.normal(size=(cout,)).astype(np.float32) * 0.01
+        bn = [rng.uniform(0.5, 1.5, cout).astype(np.float32),
+              rng.normal(size=cout).astype(np.float32) * 0.01,
+              rng.normal(size=cout).astype(np.float32) * 0.01,
+              rng.uniform(0.5, 1.5, cout).astype(np.float32)]
+        raw_v1 += _layer_v1(name, 4, [w, b]) + _layer_v1(name + "_bn", 0, bn)
+        raw_v2 += _layer(name, "Convolution", [w, b]) + _layer(name + "_bn", "BN", bn)
+    fcw = rng.normal(size=(101, 1024)).astype(np.float32) * 0.01
+    fcb = np.zeros(101, np.float32)
+    raw_v1 += _layer_v1("fc-action", 14, [fcw, fcb])
+    raw_v2 += _layer("fc-action", "InnerProduct", [fcw, fcb])
+    p1 = tmp_path / "v1.caffemodel"
+    p2 = tmp_path / "v2.caffemodel"
+    p1.write_bytes(raw_v1)
+    p2.write_bytes(raw_v2)
+    params_v1 = convert(str(p1), in_channels=3)
+    params_v2 = convert(str(p2), in_channels=3)
+    for layer in params_v2:
+        for k in params_v2[layer]:
+            np.testing.assert_array_equal(params_v1[layer][k],
+                                          params_v2[layer][k])

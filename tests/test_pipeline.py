@@ -160,3 +160,35 @@ def test_gather_signatures_mixed(rng):
     np.testing.assert_allclose(out[1].rgb, np.asarray(dev_rgb), rtol=1e-6)
     np.testing.assert_allclose(out[1].flow, np.asarray(dev_flow), rtol=1e-6)
     assert out[1].clip_numbers == [2, 3, 4]
+
+
+def test_parallel_decode_matches_sequential(tmp_path):
+    """Seek-based chunked decode must be frame-exact vs the sequential
+    reader (including the skip-first-frame parity rule)."""
+    from videoquery.pipeline import decode
+
+    path = str(tmp_path / "v.mp4")
+    decode.synthesize_video(path, n_frames=130, size=(64, 48))
+    seq = decode.load_video(path)
+    par = decode.load_video_parallel(path, workers=4, chunk=40)
+    assert par.shape == seq.shape
+    np.testing.assert_array_equal(par, seq)
+
+
+def test_extract_video_stream_matches_batch(tmp_path, tsn, small_cfg):
+    """Streaming (decode-overlapped) extraction must produce the same
+    signatures as load-then-extract."""
+    from videoquery.pipeline.extract import gather_signatures
+
+    path = str(tmp_path / "s.mp4")
+    decode.synthesize_video(path, n_frames=26, size=(96, 64), fps=5)
+    ex = Extractor(tsn, small_cfg, warped=False,
+                   tvl1=TVL1Params(n_scales=2, n_warps=1, n_iters=4))
+    want = ex.extract_video(path)
+    got = ex.extract_video_stream(path)
+    assert [s.clip_numbers for s in got] == [s.clip_numbers for s in want]
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.flow), np.asarray(b.flow),
+                                   rtol=1e-5, atol=1e-6)

@@ -143,3 +143,61 @@ def test_loader_cli_shard_out_no_api(tmp_path, rng):
     idx = load_index_binary(out)
     assert idx.n_clips == 6
     assert idx.splits == (1, 2)
+
+
+# Appendix-A contract: every coreapi action pair the reference issues
+# (SURVEY.md Appendix A; call sites cited per row) and the exact
+# (method, path) the client must emit for it. The fake API mirrors these
+# routes, so this table — not the fake — is the recorded route contract.
+APPENDIX_A_ROUTES = {
+    # api_repository.py:53-63
+    ("query-state", "compute-new", "list"): ("GET", "query-state/compute-new/"),
+    ("query-state", "compute-revised", "list"): ("GET", "query-state/compute-revised/"),
+    ("query-state", "compute-finalize", "list"): ("GET", "query-state/compute-finalize/"),
+    # ticket.py:66-78,112-118,182-186,270-274
+    ("queries", "read"): ("GET", "queries/{id}/"),
+    ("queries", "partial_update"): ("PATCH", "queries/{id}/"),
+    # api_load_records.py:20-39; ticket.py:188-190
+    ("videos", "list"): ("GET", "videos/"),
+    ("videos", "read"): ("GET", "videos/{id}/"),
+    ("videos", "create"): ("POST", "videos/"),
+    # api_load_records.py:63-88; ticket.py:256-258; target_clip.py:273-276
+    ("video-clips", "list"): ("GET", "video-clips/"),
+    ("video-clips", "read"): ("GET", "video-clips/{id}/"),
+    ("video-clips", "create"): ("POST", "video-clips/"),
+    ("video-clips", "features"): ("GET", "video-clips/{id}/features/"),
+    # api_load_records.py:90-113
+    ("features", "list"): ("GET", "features/"),
+    ("features", "create"): ("POST", "features/"),
+    # ticket.py:196-199,362-365
+    ("search-sets", "read"): ("GET", "search-sets/{id}/"),
+    ("search-sets", "features"): ("GET", "search-sets/{id}/features/"),
+    # ticket.py:286-299,192-195
+    ("query-results", "create"): ("POST", "query-results/"),
+    ("query-results", "read"): ("GET", "query-results/{id}/"),
+    # ticket.py:276-284,259-261; target_clip.py:117-124
+    ("matches", "create"): ("POST", "matches/"),
+    ("matches", "list"): ("GET", "matches/"),
+}
+
+
+def test_appendix_a_route_contract():
+    for action, (method, path) in APPENDIX_A_ROUTES.items():
+        got_method, got_path, is_detail = resolve_action(list(action))
+        assert (got_method, got_path) == (method, path), action
+        assert is_detail == ("{id}" in path), action
+
+
+def test_route_override_escape_hatch(monkeypatch):
+    """VIDEOQUERY_ROUTE_OVERRIDES remaps any action if the live API's
+    router differs from the static table."""
+    monkeypatch.setenv(
+        "VIDEOQUERY_ROUTE_OVERRIDES",
+        '{"videos.list": ["GET", "api/v2/videos/", false],'
+        ' "queries.partial_update": ["PUT", "api/v2/queries/{id}/", true]}',
+    )
+    assert resolve_action(["videos", "list"]) == ("GET", "api/v2/videos/", False)
+    assert resolve_action(["queries", "partial_update"]) == (
+        "PUT", "api/v2/queries/{id}/", True)
+    # unlisted actions keep the static table
+    assert resolve_action(["matches", "create"]) == ("POST", "matches/", False)

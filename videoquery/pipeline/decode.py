@@ -94,3 +94,75 @@ def to_grayscale(frames: np.ndarray) -> np.ndarray:
     f = frames.astype(np.float32)
     gray = 0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]
     return gray / 255.0
+
+
+def probe_frame_count(path: str) -> int:
+    """Container-reported frame count (0 if unknown)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+    cap.release()
+    return max(n, 0)
+
+
+def _decode_range(path, start, count, new_size):
+    """Decode `count` frames starting at decoded index `start` (seek-based).
+    Returns fewer frames at EOF."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        if start:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+            if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != start:
+                raise IOError(f"seek to frame {start} failed for {path!r}")
+        out = []
+        for _ in range(count):
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if new_size:
+                frame = cv2.resize(frame, new_size)
+            out.append(frame)
+        return out
+    finally:
+        cap.release()
+
+
+def load_video_parallel(path: str, new_size: tuple[int, int] | None = None,
+                        workers: int | None = None,
+                        chunk: int = 300) -> np.ndarray:
+    """Multi-worker seek-based decode -> [N, H, W, 3] BGR uint8.
+
+    The reference parallelized decode across videos with a process pool
+    (build_wof_clips.py:181-184); on a many-core TPU host a SINGLE long
+    video must also decode in parallel to keep up with the chip (extraction
+    sustains thousands of fps device-side; one cv2 thread decodes a few
+    hundred). Chunked seeks are verified frame-exact against the sequential
+    reader in tests; falls back to sequential when the container does not
+    report a frame count or seeking fails. Returns the same frames as
+    load_video (first decoded frame skipped)."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = workers or min(16, _os.cpu_count() or 1)
+    total = probe_frame_count(path)
+    if workers <= 1 or total < 2 * chunk or total <= 1:
+        return load_video(path, new_size)
+    usable = total - 1  # the reference skips the first decoded frame
+    starts = list(range(1, total, chunk))
+    try:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            parts = list(pool.map(
+                lambda s: _decode_range(path, s, min(chunk, total - s),
+                                        new_size), starts))
+    except IOError:
+        log.warning("chunked decode failed for %s; sequential fallback", path)
+        return load_video(path, new_size)
+    frames = [f for part in parts for f in part]
+    if len(frames) != usable:
+        log.warning("chunked decode of %s returned %d/%d frames; "
+                    "sequential fallback", path, len(frames), usable)
+        return load_video(path, new_size)
+    return np.stack(frames)

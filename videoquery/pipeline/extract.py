@@ -113,10 +113,38 @@ def _pair_flow(gray: jax.Array, pair_idx: jax.Array, bound: float,
     return quantize_flow(uv.reshape(b, p, h, w, 2), bound)
 
 
+def _ensemble_embed(params, x_flat: jax.Array, mesh=None) -> jax.Array:
+    """[K, N, 1024] embeddings of the K-member stacked ensemble.
+
+    Single-device: vmap over the stacked params (XLA lowers the shared-input
+    convs as grouped convs — fine un-partitioned). With a mesh whose model
+    axis is >1: shard_map over the mesh instead, because GSPMD cannot
+    partition vmap's grouped-conv lowering along a model axis that does not
+    divide the conv's output channels (K=3 splits x 64-out conv1) — each
+    shard runs plain convs on its local ensemble members."""
+    from videoquery.core.meshes import DATA_AXIS, MODEL_AXIS
+    from videoquery.nn import bn_inception
+
+    def batched(p, x):
+        k = jax.tree.leaves(p)[0].shape[0]
+        return jax.vmap(bn_inception.embed)(
+            p, jnp.broadcast_to(x, (k,) + x.shape))
+
+    if mesh is None or mesh.shape.get(MODEL_AXIS, 1) == 1:
+        return jax.vmap(lambda p: bn_inception.embed(p, x_flat))(params)
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        batched, mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(DATA_AXIS)),
+        out_specs=P(MODEL_AXIS, DATA_AXIS),
+    )(params, x_flat)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bound", "warped", "tvl1", "cfg_resize", "cfg_crop",
-                     "dtype_str", "flow_impl", "flow_res_div"),
+                     "dtype_str", "flow_impl", "flow_res_div", "mesh"),
 )
 def _extract_step(
     rgb_params,
@@ -134,6 +162,7 @@ def _extract_step(
     flow_impl: str = "xla",
     flow_res_div: int = 1,
     flow_pair_idx: jax.Array | None = None,  # i32 [P] from flow_pair_plan
+    mesh=None,  # jax Mesh when the ensemble shards over a model axis
 ):
     """The whole per-batch extraction as ONE device program:
     grayscale -> warped TV-L1 -> tick gather -> preprocess -> 6-way TSN.
@@ -185,8 +214,8 @@ def _extract_step(
     flow_in = preprocess_flow(stacks, cfg_resize, cfg_crop, dtype=dtype)
     rgb_flat = rgb_in.reshape((b * t,) + rgb_in.shape[2:])
     flow_flat = flow_in.reshape((b * t,) + flow_in.shape[2:])
-    rgb_emb = jax.vmap(lambda p: bn_inception.embed(p, rgb_flat))(rgb_params)
-    flow_emb = jax.vmap(lambda p: bn_inception.embed(p, flow_flat))(flow_params)
+    rgb_emb = _ensemble_embed(rgb_params, rgb_flat, mesh)
+    flow_emb = _ensemble_embed(flow_params, flow_flat, mesh)
     k = rgb_emb.shape[0]
     return (
         rgb_emb.reshape(k, b, t, -1).mean(axis=2),
@@ -285,24 +314,83 @@ class Extractor:
                                                       model_sh)),
                 )
 
-    def extract_frames(self, frames: np.ndarray, clip_numbers=None
-                       ) -> Iterator[ClipSignatures]:
-        """frames: BGR uint8 [N, H, W, 3] for a whole video. Yields batches
-        of per-clip signatures."""
+    def _plan_groups(self, n_frames: int, clip_numbers=None):
+        """[(group_of_ranges, clip_numbers)] — full clips batched, odd tails
+        solo (one compile per geometry)."""
         cfg = self.cfg
-        ranges = clip_ranges(len(frames), cfg.fps, cfg.clip_seconds,
+        ranges = clip_ranges(n_frames, cfg.fps, cfg.clip_seconds,
                              cfg.min_tail_seconds)
         if clip_numbers is None:
             clip_numbers = list(range(1, len(ranges) + 1))
-        gray = None  # grayscale computed on device
         bsz = cfg.batch_clips
         full = [r for r in ranges if r[1] - r[0] + 1 == cfg.frames_per_clip]
         tail = [r for r in ranges if r[1] - r[0] + 1 != cfg.frames_per_clip]
         groups = [full[i:i + bsz] for i in range(0, len(full), bsz)]
         groups += [[r] for r in tail]  # odd-length tails run solo
-        for group in groups:
-            nums = [clip_numbers[ranges.index(r)] for r in group]
-            yield self._signature_batch(frames, gray, group, nums)
+        return [(g, [clip_numbers[ranges.index(r)] for r in g])
+                for g in groups]
+
+    def extract_frames(self, frames: np.ndarray, clip_numbers=None
+                       ) -> Iterator[ClipSignatures]:
+        """frames: BGR uint8 [N, H, W, 3] for a whole video. Yields batches
+        of per-clip signatures."""
+        for group, nums in self._plan_groups(len(frames), clip_numbers):
+            yield self._signature_batch(frames, None, group, nums)
+
+    def extract_video_stream(self, path: str,
+                             new_size: tuple[int, int] | None = None
+                             ) -> list[ClipSignatures]:
+        """Overlap host decode with device extraction: a producer thread
+        decodes while the device works on already-available clip batches —
+        end-to-end wall clock approaches max(decode, device) instead of
+        their sum (the reference ran its two stages strictly sequentially,
+        build_wof_clips.py:175-189). Falls back to load-then-extract when
+        the container reports no frame count."""
+        import threading
+
+        total = decode.probe_frame_count(path)
+        if total <= 1:
+            return self.extract_video(path)
+        usable = total - 1  # first decoded frame skipped (decode.py parity)
+        got = threading.Condition()
+        state = {"err": None, "n": 0, "arr": None}
+
+        def producer():
+            try:
+                for f in decode.video_frames(path, new_size):
+                    with got:
+                        if state["arr"] is None:
+                            state["arr"] = np.empty((usable,) + f.shape,
+                                                    np.uint8)
+                        if state["n"] < usable:  # container may over-report
+                            state["arr"][state["n"]] = f
+                            state["n"] += 1
+                        got.notify_all()
+            except BaseException as exc:  # surface decode errors
+                state["err"] = exc
+            finally:
+                with got:
+                    state["done"] = True
+                    got.notify_all()
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        sigs: list[ClipSignatures] = []
+        for group, nums in self._plan_groups(usable):
+            need = max(e for _s, e in group)
+            with got:
+                got.wait_for(
+                    lambda: state["n"] >= need or state.get("done", False))
+                n_avail = state["n"]
+            if state["err"] is not None:
+                raise state["err"]
+            if n_avail < need:  # fewer frames than reported: drop the tail
+                log.warning("%s: decoded %d < reported %d frames; tail "
+                            "clips dropped", path, n_avail, usable)
+                break
+            sigs.append(self._signature_batch(state["arr"], None, group, nums))
+        t.join()
+        return gather_signatures(sigs)
 
     def _signature_batch(self, frames, gray, group, nums) -> ClipSignatures:
         del gray  # grayscale now computed on device inside _extract_step
@@ -336,6 +424,7 @@ class Extractor:
             self.flow_res_div,
             flow_pair_idx=(jnp.asarray(pair_idx, jnp.int32)
                            if use_pairs else None),
+            mesh=self.mesh,
         )
         # keep embeddings on device: callers batch the readback
         # (gather_signatures) — each np.asarray here costs ~35 ms of tunnel
@@ -480,12 +569,12 @@ def main(argv=None) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     decoder = ThreadPoolExecutor(max_workers=1)
-    futures = {videos[0]: decoder.submit(decode.load_video, videos[0],
+    futures = {videos[0]: decoder.submit(decode.load_video_parallel, videos[0],
                                          new_size=new_size)} if videos else {}
     for i, vid in enumerate(videos):
         if i + 1 < len(videos):
             futures[videos[i + 1]] = decoder.submit(
-                decode.load_video, videos[i + 1], new_size=new_size)
+                decode.load_video_parallel, videos[i + 1], new_size=new_size)
         name = os.path.splitext(os.path.basename(vid))[0]
         t0 = time.time()
         frames = futures.pop(vid).result()

@@ -113,9 +113,31 @@ _DETAIL_VERBS = {"read": "GET", "partial_update": "PATCH", "update": "PUT",
 _COLLECTION_VERBS = {"list": "GET", "create": "POST"}
 
 
+def _route_overrides() -> dict[tuple[str, ...], tuple[str, str, bool]]:
+    """Escape hatch if the live Django API's router differs from the static
+    table: VIDEOQUERY_ROUTE_OVERRIDES='{"videos.list": ["GET", "video/", false]}'
+    (keys are dot-joined action pairs; values [method, path-template,
+    is_detail] — detail templates contain '{id}')."""
+    raw = os.environ.get("VIDEOQUERY_ROUTE_OVERRIDES")
+    if not raw:
+        return {}
+    import json
+
+    try:
+        table = json.loads(raw)
+        return {tuple(k.split(".")): (v[0], v[1], bool(v[2]))
+                for k, v in table.items()}
+    except Exception as exc:  # noqa: BLE001
+        log.error("bad VIDEOQUERY_ROUTE_OVERRIDES (%s); ignoring", exc)
+        return {}
+
+
 def resolve_action(action: Sequence[str]) -> tuple[str, str, bool]:
     """Returns (method, path-template, is_detail). Detail paths contain
     '{id}'."""
+    override = _route_overrides().get(tuple(action))
+    if override is not None:
+        return override
     action = list(action)
     verb = action[-1]
     resource = "/".join(action[:-1])
