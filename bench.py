@@ -27,11 +27,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_extraction(n_batches: int = 4, batch_clips: int = 4,
+def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
                      frames_per_clip: int = 150, hw=(256, 340),
                      num_ticks: int = 25, splits=(1, 2, 3),
-                     flow_scales: int = 5, flow_warps: int = 5,
-                     flow_iters: int = 20, flow_fine_iters: int = 15,
+                     flow_scales: int = 4, flow_warps: int = 3,
+                     flow_iters: int = 20, flow_fine_iters: int = 10,
                      flow_res_div: int = 2,
                      dtype: str = "bfloat16") -> float:
     import jax
@@ -308,7 +308,7 @@ def main():
                              "e2e"])
     ap.add_argument("--segments", type=int, default=1_000_000)
     ap.add_argument("--batches", type=int, default=4)
-    ap.add_argument("--batch_clips", type=int, default=4)
+    ap.add_argument("--batch_clips", type=int, default=8)
     args = ap.parse_args()
 
     rate = None

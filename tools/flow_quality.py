@@ -114,44 +114,57 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", action="store_true",
                     help="also sweep reduced-iteration candidate configs")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0],
+                    help="corpus seeds; accuracy averages across them")
     args = ap.parse_args()
 
-    clips, labels = make_corpus()
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=(1,))
     configs = {
         "baseline (xla full-res s5w5i30)": ("xla", TVL1Params(), 1),
         "pallas full-res": ("pallas", TVL1Params(fine_warps=2), 1),
-        "pallas half-res (production)": ("pallas", TVL1Params(fine_warps=2), 2),
+        "pallas half-res (production)": (
+            "pallas", TVL1Params(fine_warps=2, n_iters=20, fine_iters=15), 2),
         "pallas quarter-res": ("pallas", TVL1Params(fine_warps=2), 4),
     }
     if args.sweep:
         configs.update({
-            "half-res fine_iters=15": (
-                "pallas", TVL1Params(fine_warps=2, fine_iters=15), 2),
-            "half-res fine_iters=10": (
-                "pallas", TVL1Params(fine_warps=2, fine_iters=10), 2),
-            "half-res i20 fine_i15": (
-                "pallas", TVL1Params(fine_warps=2, n_iters=20, fine_iters=15), 2),
-            "half-res w3 i20 fine_i10": (
+            "half-res s5w5i30 (conservative)": (
+                "pallas", TVL1Params(fine_warps=2), 2),
+            "half-res s4 i20 fi15": (
+                "pallas", TVL1Params(n_scales=4, fine_warps=2, n_iters=20,
+                                     fine_iters=15), 2),
+            "half-res w3 i20 fi10": (
                 "pallas", TVL1Params(n_warps=3, fine_warps=2, n_iters=20,
                                      fine_iters=10), 2),
+            "half-res s4 w3 i20 fi10": (
+                "pallas", TVL1Params(n_scales=4, n_warps=3, fine_warps=2,
+                                     n_iters=20, fine_iters=10), 2),
             "half-res full-window (no separable)": (
                 "pallas", TVL1Params(fine_warps=2, separable_warp=False), 2),
         })
+    accs = {name: [] for name in configs}
     results = {}
-    for name, (impl, tvl1, div) in configs.items():
-        t0 = time.time()
-        rgb, flow = extract(clips, impl, tvl1, div, tsn)
-        results[name] = (rgb, flow)
-        acc = partner_accuracy(flow, labels)
-        print(f"[{time.time()-t0:6.1f}s] {name:34s} "
-              f"motion-partner retrieval accuracy: {acc:.2f}", flush=True)
+    for seed in args.seeds:
+        clips, labels = make_corpus(seed=seed)
+        for name, (impl, tvl1, div) in configs.items():
+            t0 = time.time()
+            rgb, flow = extract(clips, impl, tvl1, div, tsn)
+            if seed == args.seeds[0]:
+                results[name] = (rgb, flow)
+            acc = partner_accuracy(flow, labels)
+            accs[name].append(acc)
+            print(f"[{time.time()-t0:6.1f}s] seed {seed} {name:36s} "
+                  f"motion-partner retrieval accuracy: {acc:.2f}", flush=True)
+    if len(args.seeds) > 1:
+        print("-- mean accuracy over seeds", args.seeds)
+        for name, a in accs.items():
+            print(f"{name:40s} {np.mean(a):.3f}  (per-seed {a})")
 
     base_rgb, base_flow = results.pop("baseline (xla full-res s5w5i30)")
     for name, (rgb, flow) in results.items():
         cos = cosine(flow.reshape(-1, flow.shape[-1]),
                      base_flow.reshape(-1, base_flow.shape[-1]))
-        print(f"{name:34s} flow-emb cosine vs baseline: "
+        print(f"{name:40s} flow-emb cosine vs baseline: "
               f"median {np.median(cos):.4f} min {cos.min():.4f}")
     rgb0 = next(iter(results.values()))[0]
     print("rgb stream max |diff| across configs:",

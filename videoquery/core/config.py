@@ -153,8 +153,11 @@ class ExtractionConfig:
     min_tail_seconds: int = 2    # remainder clip kept iff >= 2 s (build_wof_clips.py:105)
     batch_clips: int = 8         # clips per device batch in the extractor
     # compute optical flow at frame_res/flow_res_div and rescale flow values
-    # to native pixels (quality/speed knob; flow cost scales quadratically)
-    flow_res_div: int = 1
+    # to native pixels (quality/speed knob; flow cost scales quadratically).
+    # 2 is the validated production default: matches/beats full-res on
+    # motion-partner retrieval (incl. fast motion — the clamp covers ±16
+    # native px vs ±8 at full res) at ~5x the speed; see docs/TUNING.md.
+    flow_res_div: int = 2
 
     @property
     def frames_per_clip(self) -> int:
