@@ -176,3 +176,38 @@ def test_sharded_search_pallas_impl(rng):
             targets, weights, k=8)
     np.testing.assert_array_equal(ip, ix)
     np.testing.assert_allclose(vp, vx, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("name,cin,hw", [("inception_3a", 256, 28),
+                                         ("inception_5b", 1024, 7)])
+def test_fused_inception_matches_xla(name, cin, hw, rng):
+    """The fused Pallas inception block (experimental; one HBM read+write
+    per block) computes exactly the XLA _inception: AVE-pool block with 1x1
+    branch (3a) and MAX-pool block (5b)."""
+    from videoquery.kernels.inception_pallas import fused_inception
+    from videoquery.nn import bn_inception as bi
+
+    base = jax.tree.map(jnp.asarray, bi.init_params(0, 3))
+    spec = dict(bi.INCEPTION_BLOCKS)[name]
+    x = jax.nn.relu(
+        jnp.asarray(rng.normal(size=(5, hw, hw, cin)) * 0.3, jnp.float32))
+    p = {}
+    for lyr in ("1x1", "3x3_reduce", "double_3x3_reduce", "pool_proj"):
+        key = f"{name}/{lyr}"
+        w = base[key]["w"]
+        p[key] = {"w": jnp.asarray(rng.normal(size=(1, 1, cin, w.shape[3]))
+                                   * 0.05, jnp.float32),
+                  "b": base[key]["b"]}
+    for lyr in ("3x3", "double_3x3_1", "double_3x3_2"):
+        p[f"{name}/{lyr}"] = dict(base[f"{name}/{lyr}"])
+    want = bi._inception(p, name, spec, x)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_inception(p, name, spec, x, group=2)
+        # ensemble path: vmapped over stacked params
+        p3 = jax.tree.map(lambda a: jnp.stack([a] * 3), p)
+        got3 = jax.vmap(lambda q: fused_inception(q, name, spec, x,
+                                                  group=2))(p3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got3[1]), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

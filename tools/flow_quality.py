@@ -35,28 +35,31 @@ MOTION_CLASSES = [  # (object velocity, camera pan) — strongly distinct
 ]
 
 
-def make_corpus(frames=30, h=128, w=176, seed=0):
+def make_corpus(frames=30, h=128, w=176, seed=0, scale=1):
     """Two clips per motion class (different textures/objects, same motion):
     the retrieval metric is whether each clip's nearest flow-neighbor is its
-    motion partner."""
+    motion partner. scale multiplies resolution, object size AND velocities
+    (proportional motion at production-like frame sizes)."""
     import cv2
 
     rng = np.random.default_rng(seed)
+    h, w, osz = h * scale, w * scale, 28 * scale
     clips, labels = [], []
     for ci, (obj_v, pan) in enumerate(MOTION_CLASSES):
         for rep in range(2):
             base = rng.integers(0, 255, (h * 2, w * 2, 3), np.uint8)
-            base = cv2.GaussianBlur(base, (11, 11), 3)
-            obj = rng.integers(0, 255, (28, 28, 3), np.uint8)
-            obj_xy = np.array([w * 0.25, h * 0.25]) + rng.uniform(0, 15, 2)
+            k = 11 * scale + (1 - (11 * scale) % 2)  # odd kernel size
+            base = cv2.GaussianBlur(base, (k, k), 3 * scale)
+            obj = rng.integers(0, 255, (osz, osz, 3), np.uint8)
+            obj_xy = np.array([w * 0.25, h * 0.25]) + rng.uniform(0, 15 * scale, 2)
             fr = []
             for t in range(frames):
-                ox = int(t * pan[0]) % w
-                oy = int(t * pan[1]) % h
+                ox = int(t * pan[0] * scale) % w
+                oy = int(t * pan[1] * scale) % h
                 f = base[oy:oy + h, ox:ox + w].copy()
-                px = int(obj_xy[0] + t * obj_v[0]) % (w - 28)
-                py = int(obj_xy[1] + t * obj_v[1]) % (h - 28)
-                f[py:py + 28, px:px + 28] = obj
+                px = int(obj_xy[0] + t * obj_v[0] * scale) % (w - osz)
+                py = int(obj_xy[1] + t * obj_v[1] * scale) % (h - osz)
+                f[py:py + osz, px:px + osz] = obj
                 fr.append(f)
             clips.append(np.stack(fr))
             labels.append(ci)
@@ -116,6 +119,12 @@ def main():
                     help="also sweep reduced-iteration candidate configs")
     ap.add_argument("--seeds", type=int, nargs="+", default=[0],
                     help="corpus seeds; accuracy averages across them")
+    ap.add_argument("--scale", type=int, default=1,
+                    help="corpus resolution/motion multiplier (2 =~ the "
+                         "production 256x340 decode geometry)")
+    ap.add_argument("--res_sweep", action="store_true",
+                    help="sweep flow_res_div at the production schedule "
+                         "instead of the schedule sweep")
     args = ap.parse_args()
 
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=(1,))
@@ -126,6 +135,17 @@ def main():
             "pallas", TVL1Params(fine_warps=2, n_iters=20, fine_iters=15), 2),
         "pallas quarter-res": ("pallas", TVL1Params(fine_warps=2), 4),
     }
+    if args.res_sweep:
+        # no XLA full-res baseline here: at --scale 2 that program faults
+        # the TPU worker (full-res gather-warp over 16x30 256x352 frames);
+        # partner accuracy across res_divs is the decision metric
+        prod = TVL1Params(n_scales=4, n_warps=3, fine_warps=2, n_iters=20,
+                          fine_iters=10)
+        configs = {
+            "prod sched div2": ("pallas", prod, 2),
+            "prod sched div3": ("pallas", prod, 3),
+            "prod sched div4": ("pallas", prod, 4),
+        }
     if args.sweep:
         configs.update({
             "half-res s5w5i30 (conservative)": (
@@ -145,7 +165,7 @@ def main():
     accs = {name: [] for name in configs}
     results = {}
     for seed in args.seeds:
-        clips, labels = make_corpus(seed=seed)
+        clips, labels = make_corpus(seed=seed, scale=args.scale)
         for name, (impl, tvl1, div) in configs.items():
             t0 = time.time()
             rgb, flow = extract(clips, impl, tvl1, div, tsn)
@@ -160,6 +180,8 @@ def main():
         for name, a in accs.items():
             print(f"{name:40s} {np.mean(a):.3f}  (per-seed {a})")
 
+    if "baseline (xla full-res s5w5i30)" not in results:
+        return
     base_rgb, base_flow = results.pop("baseline (xla full-res s5w5i30)")
     for name, (rgb, flow) in results.items():
         cos = cosine(flow.reshape(-1, flow.shape[-1]),
