@@ -47,7 +47,7 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=splits, dtype=jnp.dtype(dtype))
     tvl1 = TVL1Params(n_scales=flow_scales, n_warps=flow_warps,
                       n_iters=flow_iters, fine_warps=2,
-                      fine_iters=flow_fine_iters)
+                      fine_iters=flow_fine_iters, grad_source="warped")
 
     rng = np.random.default_rng(0)
     frames_np = rng.integers(0, 255,

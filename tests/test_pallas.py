@@ -211,3 +211,26 @@ def test_fused_inception_matches_xla(name, cin, hw, rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got3[1]), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_grad_source_warped_close_to_image(rng):
+    """grad_source='warped' (differentiate the warped image; 1/3 the window
+    rolls) converges to the same flow as the classical linearization on
+    smooth content — interior values near-identical."""
+    import dataclasses
+
+    from videoquery.kernels.tvl1_pallas import tvl1_level_pallas
+
+    i0 = make_texture(rng, 32, 128)[None]
+    i1 = make_texture(rng, 32, 128)[None]
+    pi = TVL1Params(n_scales=1, n_warps=2, n_iters=15)
+    pw = dataclasses.replace(pi, grad_source="warped")
+    z = jnp.zeros((1, 32, 128))
+    with pltpu.force_tpu_interpret_mode():
+        ui, vi = tvl1_level_pallas(i0, i1, z, z, pi, 6, 1)
+        uw, vw = tvl1_level_pallas(i0, i1, z, z, pw, 6, 1)
+    interior = (slice(None), slice(4, -4), slice(4, -4))
+    np.testing.assert_allclose(np.asarray(uw[interior]),
+                               np.asarray(ui[interior]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(vw[interior]),
+                               np.asarray(vi[interior]), atol=5e-3)

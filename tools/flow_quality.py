@@ -141,8 +141,12 @@ def main():
         # partner accuracy across res_divs is the decision metric
         prod = TVL1Params(n_scales=4, n_warps=3, fine_warps=2, n_iters=20,
                           fine_iters=10)
+        import dataclasses as _dc
+
         configs = {
             "prod sched div2": ("pallas", prod, 2),
+            "prod div2 grad=warped": (
+                "pallas", _dc.replace(prod, grad_source="warped"), 2),
             "prod sched div3": ("pallas", prod, 3),
             "prod sched div4": ("pallas", prod, 4),
         }

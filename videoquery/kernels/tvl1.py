@@ -56,6 +56,13 @@ class TVL1Params:
     # it that way almost everywhere (validated at retrieval level by
     # tools/flow_quality.py). The XLA path always uses exact gathers.
     separable_warp: bool = True
+    # Gradient linearization source (Pallas separable path only):
+    # "image" (default) warps I1, I1x, I1y separately — the classical
+    # TV-L1 linearization (OpenCV/IPOL); "warped" warps only I1 and takes
+    # centered differences of the warped image — 1/3 the rolls in the
+    # window loops, equal up to O(|du/dx|) where the TV prior keeps flow
+    # smooth (retrieval-validated before enabling in production).
+    grad_source: str = "image"
 
     def warps_at_level(self, level: int) -> int:
         if self.fine_warps is not None and level < 2:

@@ -54,16 +54,23 @@ def _divergence(p1, p2):
     return d1 + d2
 
 
-def _level_kernel(i0_ref, i1p_ref, i1xp_ref, i1yp_ref, u_ref, v_ref,
-                  uo_ref, vo_ref, *, p: TVL1Params, d: int):
-    """One whole pyramid level in VMEM. i1p/i1xp/i1yp are edge-padded by
-    P = d+1 (top/left) and at least P (bottom/right) on the spatial dims."""
+def _level_kernel(*refs, p: TVL1Params, d: int):
+    """One whole pyramid level in VMEM. i1p (and, in grad_source="image"
+    mode, i1xp/i1yp) are edge-padded by P = d+1 (top/left) and at least P
+    (bottom/right) on the spatial dims."""
+    grad_warped = p.grad_source == "warped" and p.separable_warp
+    if grad_warped:
+        i0_ref, i1p_ref, u_ref, v_ref, uo_ref, vo_ref = refs
+        i1xp = i1yp = None
+    else:
+        (i0_ref, i1p_ref, i1xp_ref, i1yp_ref, u_ref, v_ref,
+         uo_ref, vo_ref) = refs
+        i1xp = i1xp_ref[...]
+        i1yp = i1yp_ref[...]
     i0 = i0_ref[...]
     u = u_ref[...]
     v = v_ref[...]
     i1p = i1p_ref[...]
-    i1xp = i1xp_ref[...]
-    i1yp = i1yp_ref[...]
     g, h, w = i0.shape
     l_t = p.lambda_ * p.theta
     taut = p.tau / p.theta
@@ -156,7 +163,60 @@ def _level_kernel(i0_ref, i1p_ref, i1xp_ref, i1yp_ref, u_ref, v_ref,
 
         return jax.lax.fori_loop(0, nwin, hpass, (zh, zh, zh))
 
-    warp3 = warp3_separable if p.separable_warp else warp3_full
+    def _v_ext(v_):
+        """Edge-extend v across the horizontal window margins (shared by the
+        separable passes)."""
+        ww = i1p.shape[2]
+        left = jnp.broadcast_to(v_[..., :1], (g, h, pad))
+        if ww - w - pad >= 0:
+            right = jnp.broadcast_to(v_[..., -1:], (g, h, ww - w - pad))
+            return jnp.concatenate([left, v_, right], axis=-1)
+        return jnp.concatenate([left, v_[..., :ww - pad]], axis=-1)
+
+    def warp1_separable(u_, v_):
+        """Single-image factorized warp (grad_source='warped': the
+        gradients come from differentiating the warped image, so only I1
+        moves through the window loops — 1/3 the rolls)."""
+        hh = i1p.shape[1]
+        ww = i1p.shape[2]
+        v_ext = _v_ext(v_)
+
+        def vpass(iy, acc):
+            dy = iy - d
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(v_ext - dy.astype(jnp.float32)))
+            return acc + wy * pltpu.roll(i1p, hh - (pad + dy), 1)[:, :h, :]
+
+        t = jax.lax.fori_loop(0, nwin, vpass, jnp.zeros((g, h, ww), jnp.float32))
+
+        def hpass(ix, acc):
+            dx = ix - d
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(u_ - dx.astype(jnp.float32)))
+            return acc + wx * pltpu.roll(t, ww - (pad + dx), 2)[:, :, :w]
+
+        return jax.lax.fori_loop(0, nwin, hpass, jnp.zeros((g, h, w), jnp.float32))
+
+    def _grad_inkernel(x):
+        """Centered spatial gradients with one-sided borders (the in-kernel
+        analog of _centered_grad_batch), via positive-complement rolls."""
+        col = jax.lax.broadcasted_iota(jnp.int32, (g, h, w), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (g, h, w), 1)
+        xr = pltpu.roll(x, w - 1, 2)   # x[:, :, i+1] at position i
+        xl = pltpu.roll(x, 1, 2)       # x[:, :, i-1]
+        gx = jnp.where(col == 0, xr - x,
+                       jnp.where(col == w - 1, x - xl, (xr - xl) * 0.5))
+        xd = pltpu.roll(x, h - 1, 1)   # x[:, i+1, :]
+        xu = pltpu.roll(x, 1, 1)       # x[:, i-1, :]
+        gy = jnp.where(row == 0, xd - x,
+                       jnp.where(row == h - 1, x - xu, (xd - xu) * 0.5))
+        return gx, gy
+
+    if grad_warped:
+        def warp3(u_, v_):
+            i1w = warp1_separable(u_, v_)
+            i1wx, i1wy = _grad_inkernel(i1w)
+            return i1w, i1wx, i1wy
+    else:
+        warp3 = warp3_separable if p.separable_warp else warp3_full
 
     p11 = jnp.zeros((g, h, w), jnp.float32)
     p12 = jnp.zeros_like(p11)
@@ -389,13 +449,16 @@ def tvl1_level_pallas(i0, i1, u, v, p: TVL1Params = TVL1Params(),
         return jnp.pad(x, ((0, n_pad - n), (pad, hh - h - pad),
                            (pad, ww - w - pad)), mode="edge")
 
-    i1x, i1y = _centered_grad_batch(i1)
+    grad_warped = p.grad_source == "warped" and p.separable_warp
     i0p = pad_plain(i0)
     up = pad_plain(u)
     vp = pad_plain(v)
     i1p = pad_window(i1)
-    i1xp = pad_window(i1x)
-    i1yp = pad_window(i1y)
+    if grad_warped:
+        inputs = (i0p, i1p, up, vp)
+    else:
+        i1x, i1y = _centered_grad_batch(i1)
+        inputs = (i0p, i1p, pad_window(i1x), pad_window(i1y), up, vp)
 
     hh = _round_up(h + 2 * pad, 8)
     ww = _round_up(w + 2 * pad, 128)
@@ -403,17 +466,21 @@ def tvl1_level_pallas(i0, i1, u, v, p: TVL1Params = TVL1Params(),
                         memory_space=pltpu.VMEM)
     spec_padded = pl.BlockSpec((g, hh, ww), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
+    if grad_warped:
+        in_specs = [spec, spec_padded, spec, spec]
+    else:
+        in_specs = [spec, spec_padded, spec_padded, spec_padded, spec, spec]
     out_u, out_v = pl.pallas_call(
         functools.partial(_level_kernel, p=p, d=max_disp),
         compiler_params=_VMEM_HEADROOM,
         grid=(n_pad // g,),
-        in_specs=[spec, spec_padded, spec_padded, spec_padded, spec, spec],
+        in_specs=in_specs,
         out_specs=[spec, spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, hp, wp), jnp.float32),
         ],
-    )(i0p, i1p, i1xp, i1yp, up, vp)
+    )(*inputs)
     return out_u[:n, :h, :w], out_v[:n, :h, :w]
 
 

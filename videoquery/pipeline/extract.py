@@ -287,13 +287,14 @@ class Extractor:
         self.warped = warped
         self.dtype = dtype
         # production flow schedule: 4 pyramid levels, 3 warps (2 at the
-        # finest two levels), 20 iters (10 fine) — the best-scoring config
-        # on 3-seed motion-partner retrieval (0.708 vs 0.542 for the
-        # faithful full-res 5s/5w/30i baseline, fast-motion scenes
-        # included) and also the fastest (tools/flow_quality.py --sweep
-        # --seeds 0 1 2; docs/TUNING.md)
+        # finest two levels), 20 iters (10 fine), gradients from the warped
+        # image — the best-scoring config on 3-seed motion-partner
+        # retrieval at BOTH corpus scales (>= the faithful full-res
+        # 5s/5w/30i baseline, fast-motion scenes included) and also the
+        # fastest (tools/flow_quality.py --sweep/--res_sweep; docs/TUNING.md)
         self.tvl1 = tvl1 or TVL1Params(n_scales=4, n_warps=3, fine_warps=2,
-                                       n_iters=20, fine_iters=10)
+                                       n_iters=20, fine_iters=10,
+                                       grad_source="warped")
         self.flow_impl = flow_impl or default_flow_impl()
         self.flow_res_div = self.cfg.flow_res_div
         self.mesh = mesh
