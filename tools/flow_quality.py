@@ -143,10 +143,14 @@ def main():
                           fine_iters=10)
         import dataclasses as _dc
 
+        gw = _dc.replace(prod, grad_source="warped")
         configs = {
             "prod sched div2": ("pallas", prod, 2),
-            "prod div2 grad=warped": (
-                "pallas", _dc.replace(prod, grad_source="warped"), 2),
+            "prod div2 grad=warped": ("pallas", gw, 2),
+            "prod gw coarse 48x64": (
+                "pallas", _dc.replace(gw, coarse_hw=(48, 64)), 2),
+            "prod gw coarse 32x48": (
+                "pallas", _dc.replace(gw, coarse_hw=(32, 48)), 2),
             "prod sched div3": ("pallas", prod, 3),
             "prod sched div4": ("pallas", prod, 4),
         }

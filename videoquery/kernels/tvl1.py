@@ -56,6 +56,12 @@ class TVL1Params:
     # it that way almost everywhere (validated at retrieval level by
     # tools/flow_quality.py). The XLA path always uses exact gathers.
     separable_warp: bool = True
+    # Coarse grid for the camera-motion (affine) estimation pass of the
+    # warped variant. 6 affine parameters need far fewer samples than the
+    # flow grid; (48, 64) scored >= (64, 96) on the 3-seed production-scale
+    # retrieval gate while (32, 48) cliffs (tools/flow_quality.py
+    # --res_sweep) — heights below ~48 under-resolve the pan classes.
+    coarse_hw: tuple[int, int] = (48, 64)
     # Gradient linearization source (Pallas separable path only):
     # "image" (default) warps I1, I1x, I1y separately — the classical
     # TV-L1 linearization (OpenCV/IPOL); "warped" warps only I1 and takes

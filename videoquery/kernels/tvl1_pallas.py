@@ -529,7 +529,7 @@ def tvl1_warped_flow_pallas(
     I1: jax.Array,
     p: TVL1Params = TVL1Params(),
     max_disp: int = 8,
-    coarse_hw: tuple[int, int] = (64, 96),
+    coarse_hw: tuple[int, int] | None = None,  # None -> p.coarse_hw
     pairs_per_program: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Warped (camera-motion-compensated) variant on the Pallas path.
@@ -544,6 +544,7 @@ def tvl1_warped_flow_pallas(
     cost on this chip at ~50 ns/index)."""
     from videoquery.kernels.motion import estimate_affine_batch, global_translation
 
+    coarse_hw = coarse_hw or p.coarse_hw
     c0 = _resize2(I0, coarse_hw)
     c1 = _resize2(I1, coarse_hw)
     sx = I0.shape[2] / coarse_hw[1]
@@ -556,7 +557,9 @@ def tvl1_warped_flow_pallas(
 
     c1t = jax.vmap(roll_one)(c1, t)
     coarse = TVL1Params(n_scales=2, n_warps=2, n_iters=15,
-                        scale_step=p.scale_step)
+                        scale_step=p.scale_step,
+                        separable_warp=p.separable_warp,
+                        grad_source=p.grad_source)
     cu, cv = tvl1_flow_pallas(c0, c1t, coarse, max_disp=4,
                               pairs_per_program=pairs_per_program)
     # total coarse-res flow = residual + integer translation; fit the affine
