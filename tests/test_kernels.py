@@ -1,5 +1,6 @@
 """TV-L1 flow, warping, and global-motion estimation."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -132,3 +133,33 @@ def test_clip_ranges_reference_semantics():
     # exactly 2 s tail is kept
     r = clip_ranges(330, fps=15, clip_seconds=10)
     assert r == [(1, 150), (151, 300), (301, 330)]
+
+
+def test_camera_zoom_compensation(rng):
+    """A pure camera ZOOM must be (mostly) cancelled by the affine
+    compensation — regression test for the coarse-vs-native coordinate
+    mismatch where the fit's linear terms were applied unscaled at native
+    coordinates, over-compensating zoom/rotation by W_native/W_coarse (the
+    translation-only quality corpus could never see it)."""
+    from videoquery.kernels.tvl1 import TVL1Params, tvl1_flow, tvl1_warped_flow
+    from videoquery.kernels.warp import warp_affine
+
+    h, w = 96, 128
+    base = jnp.asarray(rng.normal(size=(h // 8, w // 8)))
+    img = jax.image.resize(base, (h, w), "cubic").astype(jnp.float32)
+    img = (img - img.min()) / (img.max() - img.min())
+    z = 0.02  # 2% zoom-in about the center
+    cx, cy = (w - 1) / 2, (h - 1) / 2
+    A = jnp.asarray([[1 - z, 0, z * cx], [0, 1 - z, z * cy]])
+    i1 = warp_affine(img, A)
+    p = TVL1Params(n_scales=3, n_warps=3, n_iters=20)
+    interior = (slice(None), slice(12, -12), slice(12, -12))
+
+    u, v = tvl1_warped_flow(img[None], i1[None], p, coarse_hw=(48, 64))
+    residual = jnp.sqrt(u**2 + v**2)[interior]
+    ur, vr = tvl1_flow(img[None], i1[None], p)
+    raw = jnp.sqrt(ur**2 + vr**2)[interior]
+
+    assert float(jnp.median(residual)) < 0.25
+    # compensation must remove most of the zoom field, not amplify/invert it
+    assert float(jnp.median(residual)) < 0.45 * float(jnp.median(raw))

@@ -30,9 +30,19 @@ MOTION_CLASSES = [  # (object velocity, camera pan) — strongly distinct
     ((12.0, 0.0), (0.0, 0.0)),   # very fast right: >10 px/frame foreground,
                                  # near the reference's ±20 px quantization
                                  # bound (build_wof_clips.py:70-73)
-    ((0.0, -9.0), (2.0, 0.0)),   # fast up + pan (fast motion under
-                                 # camera compensation)
+    ((-7.0, 5.0), (2.0, 0.0)),   # fast diagonal + pan. NOTE: the object
+                                 # motion must be UNIQUE per class — with
+                                 # accurate camera compensation the pan is
+                                 # (correctly) erased, so a pan class whose
+                                 # object motion matches another class's
+                                 # direction collapses onto it and the
+                                 # metric punishes good compensation
+    ((3.0, -3.0), "zoom"),       # camera zoom-in + diagonal object: tests
+                                 # the parametric (LK) compensation — the
+                                 # TV-flow-affine-fit estimator left zooms
+                                 # uncompensated
 ]
+ZOOM_PER_FRAME = 0.004           # 0.4%/frame zoom-in
 
 
 def make_corpus(frames=30, h=128, w=176, seed=0, scale=1):
@@ -54,9 +64,17 @@ def make_corpus(frames=30, h=128, w=176, seed=0, scale=1):
             obj_xy = np.array([w * 0.25, h * 0.25]) + rng.uniform(0, 15 * scale, 2)
             fr = []
             for t in range(frames):
-                ox = int(t * pan[0] * scale) % w
-                oy = int(t * pan[1] * scale) % h
-                f = base[oy:oy + h, ox:ox + w].copy()
+                if pan == "zoom":
+                    # camera zoom-in about the window center
+                    s = 1.0 + ZOOM_PER_FRAME * t
+                    ch, cw = int(round(h / s)), int(round(w / s))
+                    y0 = (h * 2 - ch) // 2
+                    x0 = (w * 2 - cw) // 2
+                    f = cv2.resize(base[y0:y0 + ch, x0:x0 + cw], (w, h))
+                else:
+                    ox = int(t * pan[0] * scale) % w
+                    oy = int(t * pan[1] * scale) % h
+                    f = base[oy:oy + h, ox:ox + w].copy()
                 px = int(obj_xy[0] + t * obj_v[0] * scale) % (w - osz)
                 py = int(obj_xy[1] + t * obj_v[1] * scale) % (h - osz)
                 f[py:py + osz, px:px + osz] = obj

@@ -53,7 +53,7 @@ def _mm(a, w, b, relu=True):
     return y.astype(a.dtype)
 
 
-def _block_kernel(xp_ref, *refs, spec, g: int, h: int, w: int, cin: int,
+def _block_kernel(xp_ref, *refs, g: int, h: int, w: int, cin: int,
                   has_c1: bool, pool_kind: str, has_pp: bool):
     """One fused stride-1 inception block for a group of g images.
 
@@ -134,7 +134,7 @@ def fused_inception(params, name: str, spec: dict, x: jax.Array,
     cout = (spec["c1"] + spec["c3"] + spec["d2"]
             + (spec["pp"] if has_pp else cin))
 
-    def wb(layer, cast_w=True):
+    def wb(layer):
         p = params[f"{name}/{layer}"]
         wt = p["w"].astype(x.dtype)
         # biases as (1, c): 1-D operands violate Pallas' (8, 128) block
@@ -166,7 +166,7 @@ def fused_inception(params, name: str, spec: dict, x: jax.Array,
                               memory_space=pltpu.VMEM) for w_ in weights]
     out = pl.pallas_call(
         functools.partial(
-            _block_kernel, spec=spec, g=g, h=h, w=w, cin=cin,
+            _block_kernel, g=g, h=h, w=w, cin=cin,
             has_c1=has_c1, pool_kind=spec["pool"], has_pp=has_pp),
         grid=(n_pad // g,),
         in_specs=in_specs,

@@ -59,11 +59,24 @@ def estimate_affine(
     init = solve(jnp.ones_like(u))
     (au, av), _ = jax.lax.scan(body, init, None, length=n_irls)
     # un-normalize: u = au0*(x*sx-1) + au1*(y*sy-1) + au2
+    # NOTE: the linear terms are per-pixel-OF-THIS-GRID slopes. When the
+    # fit runs on a coarse grid but the warp applies A at native
+    # coordinates, rescale with affine_to_native_coords — applying raw A at
+    # native coords over-compensates zoom/rotation by native/coarse.
     A = jnp.asarray([
         [au[0] * sx, au[1] * sy, au[2] - au[0] - au[1]],
         [av[0] * sx, av[1] * sy, av[2] - av[0] - av[1]],
     ])
     return A
+
+
+def affine_to_native_coords(A: jax.Array, rx, ry) -> jax.Array:
+    """Convert an affine fit done at coarse-grid coordinates (flow VALUES
+    already in native px) to native coordinates: x_c = x_n/rx, y_c = y_n/ry
+    with rx = W_native/W_coarse. Linear terms divide by the ratio; the
+    translation is coordinate-free. Works for [2, 3] and batched [N, 2, 3]."""
+    scale = jnp.asarray([1.0 / rx, 1.0 / ry, 1.0])
+    return A * scale
 
 
 def affine_to_warp(A: jax.Array, h: int, w: int) -> jax.Array:
@@ -107,3 +120,117 @@ def global_translation(
     dx = idx % (2 * m + 1) - m
     # a[y + m + dy', x + ...]: b(y) matches a(y + dy) => flow c0->c1 is -d
     return jnp.stack([-dx, -dy], axis=1).astype(jnp.int32)
+
+
+def lk_affine(
+    c0: jax.Array,            # [H, W] template (coarse grayscale)
+    c1: jax.Array,            # [H, W] target, pre-translated
+    warp_fn=None,             # (img, u, v) -> img warped by +(u, v)
+    n_iters: int = 8,
+    huber_delta: float = 3.0,  # x median residual (adaptive)
+) -> jax.Array:
+    """Direct parametric (Lucas-Kanade) affine alignment: Gauss-Newton on
+    image intensities with template gradients and a Huber reweighting.
+
+    Why not fit the affine to a coarse TV-L1 flow field: the TV prior
+    FLATTENS divergent fields (a 5% camera zoom is recovered at <10% of its
+    magnitude), so an affine fit on that flow under-compensates zoom and
+    rotation — the failure mode dense_flow avoids by fitting its homography
+    to feature matches instead of regularized flow. LK needs no flow field
+    at all: 6 unknowns, a 6x6 solve per iteration, robust reweighting
+    against foreground outliers.
+
+    Returns the 2x3 matrix A with u(x, y) = A @ [x, y, 1] (displacement per
+    THIS grid's pixel coordinates — rescale with affine_to_native_coords
+    before applying at another resolution).
+    """
+    h, w = c0.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sxn, syn = 2.0 / w, 2.0 / h
+    xn = xs * sxn - 1.0
+    yn = ys * syn - 1.0
+
+    gy, gx = jnp.gradient(c0)
+    # steepest-descent images for params (p0..p2: u; p3..p5: v)
+    sd = jnp.stack([gx * xn, gx * yn, gx, gy * xn, gy * yn, gy])  # [6, H, W]
+
+    if warp_fn is None:
+        from videoquery.kernels.warp import bilinear_sample
+
+        def warp_fn(img, u, v):
+            return bilinear_sample(img, ys + v, xs + u)
+
+    def body(p, _):
+        u = p[0] * xn + p[1] * yn + p[2]
+        v = p[3] * xn + p[4] * yn + p[5]
+        r = warp_fn(c1, u, v) - c0
+        absr = jnp.abs(r)
+        # ADAPTIVE robust threshold (approximates the reference's RANSAC
+        # inlier selection): background residuals sit near the median, an
+        # independently moving foreground sits far above it and must not
+        # drag the camera fit toward its own motion
+        thresh = huber_delta * jnp.median(absr) + 1e-6
+        wgt = jnp.minimum(1.0, thresh / (absr + 1e-8))
+        sw = sd * wgt
+        hess = jnp.einsum("ihw,jhw->ij", sw, sd) + 1e-6 * jnp.eye(6)
+        b = jnp.einsum("ihw,hw->i", sw, r)
+        # residual r = c1(x+u) - c0 ~ r + sd . delta = 0 -> delta = -H^-1 b
+        return p - jnp.linalg.solve(hess, b), None
+
+    p, _ = jax.lax.scan(body, jnp.zeros(6), None, length=n_iters)
+    # un-normalize (same pattern as estimate_affine): per-pixel coords
+    return jnp.asarray([
+        [p[0] * sxn, p[1] * syn, p[2] - p[0] - p[1]],
+        [p[3] * sxn, p[4] * syn, p[5] - p[3] - p[4]],
+    ])
+
+
+def lk_affine_batch(
+    c0: jax.Array,            # [N, H, W]
+    c1: jax.Array,            # [N, H, W], pre-translated
+    warp_fn=None,             # ([N,H,W], u, v) -> warped [N,H,W]
+    n_iters: int = 8,
+    huber_delta: float = 3.0,  # x median residual (adaptive)
+) -> jax.Array:
+    """Batched lk_affine: returns [N, 2, 3] per-pixel-coords affines. Takes
+    a BATCHED warp_fn so the TPU path can plug in the gather-free Pallas
+    window warp (per-pair gathers are ~50 ns/index on TPU)."""
+    n, h, w = c0.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sxn, syn = 2.0 / w, 2.0 / h
+    xn = xs * sxn - 1.0
+    yn = ys * syn - 1.0
+    gy = jnp.gradient(c0, axis=1)
+    gx = jnp.gradient(c0, axis=2)
+    sd = jnp.stack([gx * xn, gx * yn, gx, gy * xn, gy * yn, gy], axis=1)
+
+    if warp_fn is None:
+        from videoquery.kernels.warp import bilinear_sample
+
+        def warp_fn(img, u, v):
+            return jax.vmap(lambda im, uu, vv: bilinear_sample(
+                im, ys + vv, xs + uu))(img, u, v)
+
+    def body(p, _):
+        u = p[:, 0, None, None] * xn + p[:, 1, None, None] * yn + p[:, 2, None, None]
+        v = p[:, 3, None, None] * xn + p[:, 4, None, None] * yn + p[:, 5, None, None]
+        r = warp_fn(c1, u, v) - c0
+        absr = jnp.abs(r)
+        thresh = (huber_delta * jnp.median(absr, axis=(1, 2), keepdims=True)
+                  + 1e-6)  # adaptive per pair: see lk_affine
+        wgt = jnp.minimum(1.0, thresh / (absr + 1e-8))
+        sw = sd * wgt[:, None]
+        hess = jnp.einsum("nihw,njhw->nij", sw, sd) + 1e-6 * jnp.eye(6)
+        b = jnp.einsum("nihw,nhw->ni", sw, r)
+        delta = jnp.linalg.solve(hess, b[..., None])[..., 0]
+        return p - delta, None
+
+    p, _ = jax.lax.scan(body, jnp.zeros((n, 6)), None, length=n_iters)
+    return jnp.stack([
+        jnp.stack([p[:, 0] * sxn, p[:, 1] * syn,
+                   p[:, 2] - p[:, 0] - p[:, 1]], axis=1),
+        jnp.stack([p[:, 3] * sxn, p[:, 4] * syn,
+                   p[:, 5] - p[:, 3] - p[:, 4]], axis=1),
+    ], axis=1)

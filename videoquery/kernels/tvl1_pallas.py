@@ -15,8 +15,10 @@ pipeline clamps flow to ±20 px at quantization anyway,
 build_wof_clips.py:70-73). The window is a fori_loop over offsets whose
 body takes ONE dynamic VMEM slice of an edge-prepadded I1 — unrolling the
 window statically overwhelms the Mosaic register allocator beyond ~36
-terms. I1 and its two gradient images are warped together, sharing the
-weight computation.
+terms. In the default production mode (grad_source="warped") only I1
+moves through the window loops and its gradients come from differentiating
+the warped image; the classical mode warps I1 and its two gradient images
+together, sharing the weight computation.
 
 Semantics match kernels/tvl1._tvl1_level (same update equations); the pure
 JAX path remains the portable reference implementation and the test oracle.
@@ -117,6 +119,16 @@ def _level_kernel(*refs, p: TVL1Params, d: int):
 
         return jax.lax.fori_loop(0, nwin, outer, (zeros, zeros, zeros))
 
+    def _v_ext(v_):
+        """Edge-extend v across the horizontal window margins (shared by the
+        separable passes)."""
+        ww = i1p.shape[2]
+        left = jnp.broadcast_to(v_[..., :1], (g, h, pad))
+        if ww - w - pad >= 0:
+            right = jnp.broadcast_to(v_[..., -1:], (g, h, ww - w - pad))
+            return jnp.concatenate([left, v_, right], axis=-1)
+        return jnp.concatenate([left, v_[..., :ww - pad]], axis=-1)
+
     def warp3_separable(u_, v_):
         """Factorized window warp: vertical pass over the padded images with
         weights wy(v), then a horizontal pass with weights wx(u) — 2*nwin
@@ -128,14 +140,7 @@ def _level_kernel(*refs, p: TVL1Params, d: int):
         use edge-clamped v, mirroring the edge-padded image reads."""
         hh = i1p.shape[1]
         ww = i1p.shape[2]
-        # edge-extend v horizontally so the intermediate's margin columns
-        # (consumed by edge pixels of the horizontal pass) carry weights
-        left = jnp.broadcast_to(v_[..., :1], (g, h, pad))
-        if ww - w - pad >= 0:  # lane-rounded block may already cover ww
-            right = jnp.broadcast_to(v_[..., -1:], (g, h, ww - w - pad))
-            v_ext = jnp.concatenate([left, v_, right], axis=-1)  # (g, h, ww)
-        else:
-            v_ext = jnp.concatenate([left, v_[..., :ww - pad]], axis=-1)
+        v_ext = _v_ext(v_)  # margin columns carry edge-clamped weights
         zv = jnp.zeros((g, h, ww), jnp.float32)
 
         def vpass(iy, accs):
@@ -162,16 +167,6 @@ def _level_kernel(*refs, p: TVL1Params, d: int):
             return a0 + wx * s0, a1 + wx * s1, a2 + wx * s2
 
         return jax.lax.fori_loop(0, nwin, hpass, (zh, zh, zh))
-
-    def _v_ext(v_):
-        """Edge-extend v across the horizontal window margins (shared by the
-        separable passes)."""
-        ww = i1p.shape[2]
-        left = jnp.broadcast_to(v_[..., :1], (g, h, pad))
-        if ww - w - pad >= 0:
-            right = jnp.broadcast_to(v_[..., -1:], (g, h, ww - w - pad))
-            return jnp.concatenate([left, v_, right], axis=-1)
-        return jnp.concatenate([left, v_[..., :ww - pad]], axis=-1)
 
     def warp1_separable(u_, v_):
         """Single-image factorized warp (grad_source='warped': the
@@ -333,10 +328,13 @@ def window_warp_pallas(img, u, v, d: int = 4, separable: bool = True,
     n_pad = _round_up(n, g)
     imgp = jnp.pad(img, ((0, n_pad - n), (pad, hh - h - pad),
                          (pad, ww - w - pad)), mode="edge")
+    # edge (not zero) pad: the separable pass samples v in the lane-rounded
+    # margin columns; zero flow there would vertically unshift the border
+    # samples the horizontal pass consumes
     up = jnp.pad(jnp.clip(u, -d, d),
-                 ((0, n_pad - n), (0, hp - h), (0, wp - w)))
+                 ((0, n_pad - n), (0, hp - h), (0, wp - w)), mode="edge")
     vp = jnp.pad(jnp.clip(v, -d, d),
-                 ((0, n_pad - n), (0, hp - h), (0, wp - w)))
+                 ((0, n_pad - n), (0, hp - h), (0, wp - w)), mode="edge")
     spec = pl.BlockSpec((g, hp, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     specp = pl.BlockSpec((g, hh, ww), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -542,7 +540,9 @@ def tvl1_warped_flow_pallas(
     translation + a small Pallas window warp for the affine residual — no
     gathers anywhere (a gather-based affine resample tripled total flow
     cost on this chip at ~50 ns/index)."""
-    from videoquery.kernels.motion import estimate_affine_batch, global_translation
+    from videoquery.kernels.motion import (affine_to_native_coords,
+                                           global_translation,
+                                           lk_affine_batch)
 
     coarse_hw = coarse_hw or p.coarse_hw
     c0 = _resize2(I0, coarse_hw)
@@ -556,16 +556,22 @@ def tvl1_warped_flow_pallas(
         return jnp.roll(jnp.roll(im, -ti[1], axis=0), -ti[0], axis=1)
 
     c1t = jax.vmap(roll_one)(c1, t)
-    coarse = TVL1Params(n_scales=2, n_warps=2, n_iters=15,
-                        scale_step=p.scale_step,
-                        separable_warp=p.separable_warp,
-                        grad_source=p.grad_source)
-    cu, cv = tvl1_flow_pallas(c0, c1t, coarse, max_disp=4,
-                              pairs_per_program=pairs_per_program)
-    # total coarse-res flow = residual + integer translation; fit the affine
-    # in full-res pixels
-    A = estimate_affine_batch((cu + t[:, 0, None, None]) * sx,
-                              (cv + t[:, 1, None, None]) * sy)
+    # Parametric (LK) affine refinement on the translation-compensated
+    # coarse pair. Replaces the earlier coarse-TV-L1 + IRLS-affine-fit: the
+    # TV prior flattens divergent fields (a 5% camera zoom came back at
+    # <10% magnitude, so zoom/rotation stayed uncompensated); direct
+    # Gauss-Newton on intensities recovers ~97% of a synthetic zoom, and
+    # costs a handful of 6x6 solves instead of a 2-level TV-L1 pyramid.
+    A = lk_affine_batch(
+        c0, c1t,
+        warp_fn=lambda img, u, v: window_warp_pallas(img, u, v, d=4),
+        n_iters=6)
+    # add the integer translation, scale VALUES (coarse px -> native px per
+    # axis), then convert the fit's coarse COORDS to native coords
+    A = A.at[:, 0, 2].add(t[:, 0].astype(jnp.float32))
+    A = A.at[:, 1, 2].add(t[:, 1].astype(jnp.float32))
+    A = A * jnp.asarray([sx, sy])[:, None]
+    A = affine_to_native_coords(A, sx, sy)
     i1w = _affine_warp_rollwindow(I1, A, d=4)
     return tvl1_flow_pallas(I0, i1w, p, max_disp=max_disp,
                             pairs_per_program=pairs_per_program)

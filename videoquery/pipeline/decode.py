@@ -152,16 +152,23 @@ def load_video_parallel(path: str, new_size: tuple[int, int] | None = None,
         return load_video(path, new_size)
     usable = total - 1  # the reference skips the first decoded frame
     starts = list(range(1, total, chunk))
+
+    def decode_chunk(s):
+        # the LAST chunk reads to EOF: containers may under-report their
+        # frame count (duration*fps estimates), and those trailing frames
+        # must not be silently dropped relative to load_video
+        count = chunk if s + chunk < total else 1 << 30
+        return _decode_range(path, s, count, new_size)
+
     try:
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            parts = list(pool.map(
-                lambda s: _decode_range(path, s, min(chunk, total - s),
-                                        new_size), starts))
-    except IOError:
-        log.warning("chunked decode failed for %s; sequential fallback", path)
+            parts = list(pool.map(decode_chunk, starts))
+    except Exception as exc:  # noqa: BLE001 — cv2 raises cv2.error, not IOError
+        log.warning("chunked decode failed for %s (%s); sequential fallback",
+                    path, exc)
         return load_video(path, new_size)
     frames = [f for part in parts for f in part]
-    if len(frames) != usable:
+    if len(frames) < usable:
         log.warning("chunked decode of %s returned %d/%d frames; "
                     "sequential fallback", path, len(frames), usable)
         return load_video(path, new_size)

@@ -357,7 +357,7 @@ class Extractor:
             return self.extract_video(path)
         usable = total - 1  # first decoded frame skipped (decode.py parity)
         got = threading.Condition()
-        state = {"err": None, "n": 0, "arr": None}
+        state = {"err": None, "n": 0, "arr": None, "extra": []}
 
         def producer():
             try:
@@ -366,9 +366,11 @@ class Extractor:
                         if state["arr"] is None:
                             state["arr"] = np.empty((usable,) + f.shape,
                                                     np.uint8)
-                        if state["n"] < usable:  # container may over-report
+                        if state["n"] < usable:
                             state["arr"][state["n"]] = f
                             state["n"] += 1
+                        else:  # container under-reported its frame count
+                            state["extra"].append(f)
                         got.notify_all()
             except BaseException as exc:  # surface decode errors
                 state["err"] = exc
@@ -380,7 +382,15 @@ class Extractor:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         sigs: list[ClipSignatures] = []
+        done_clips: set[int] = set()
+        fpc = self.cfg.frames_per_clip
+        # Stream only FULL clip batches while decoding; the tail clip is
+        # planned after decode finishes, from the ACTUAL frame count —
+        # container counts are duration*fps estimates for some mp4s/VFR and
+        # must not decide clip boundaries (parity with extract_video).
         for group, nums in self._plan_groups(usable):
+            if any(e - s + 1 != fpc for s, e in group):
+                continue  # tail: defer to the post-decode replan
             need = max(e for _s, e in group)
             with got:
                 got.wait_for(
@@ -388,12 +398,31 @@ class Extractor:
                 n_avail = state["n"]
             if state["err"] is not None:
                 raise state["err"]
-            if n_avail < need:  # fewer frames than reported: drop the tail
-                log.warning("%s: decoded %d < reported %d frames; tail "
-                            "clips dropped", path, n_avail, usable)
-                break
+            if n_avail < need:
+                break  # over-reported count: replan below on actuals
             sigs.append(self._signature_batch(state["arr"], None, group, nums))
+            done_clips.update(nums)
         t.join()
+        if state["err"] is not None and not sigs:
+            raise state["err"]
+        # replan on the actual decoded count: emits the tail clip and any
+        # full groups the estimate missed (full-group boundaries are
+        # identical across totals, so emitted work never changes meaning)
+        arr = state["arr"]
+        if arr is None:
+            raise IOError(f"no frames decoded from {path!r}")
+        actual = state["n"] + len(state["extra"])
+        if state["extra"]:
+            arr = np.concatenate([arr[:state["n"]], np.stack(state["extra"])])
+        elif actual < usable:
+            log.warning("%s: decoded %d < reported %d frames", path, actual,
+                        usable)
+            arr = arr[:actual]
+        for group, nums in self._plan_groups(actual):
+            if all(n in done_clips for n in nums):
+                continue
+            sigs.append(self._signature_batch(arr, None, group, nums))
+        sigs.sort(key=lambda s: s.clip_numbers[0])
         return gather_signatures(sigs)
 
     def _signature_batch(self, frames, gray, group, nums) -> ClipSignatures:

@@ -16,6 +16,7 @@ api_load_records.py:115-121).
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import time
@@ -117,8 +118,14 @@ def _route_overrides() -> dict[tuple[str, ...], tuple[str, str, bool]]:
     """Escape hatch if the live Django API's router differs from the static
     table: VIDEOQUERY_ROUTE_OVERRIDES='{"videos.list": ["GET", "video/", false]}'
     (keys are dot-joined action pairs; values [method, path-template,
-    is_detail] — detail templates contain '{id}')."""
-    raw = os.environ.get("VIDEOQUERY_ROUTE_OVERRIDES")
+    is_detail] — detail templates contain '{id}'). Parsed once per env
+    value — not per request."""
+    return _parse_route_overrides(
+        os.environ.get("VIDEOQUERY_ROUTE_OVERRIDES") or "")
+
+
+@functools.lru_cache(maxsize=4)
+def _parse_route_overrides(raw: str) -> dict:
     if not raw:
         return {}
     import json

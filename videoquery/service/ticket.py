@@ -135,14 +135,14 @@ class Ticket:
             row = self.client.action(
                 ["search-sets", "read"], {"id": self.search_set}
             )
-        except Exception:  # noqa: BLE001 — version signal is best-effort
-            return None
-        for key in ("updated_at", "etag", "feature_count", "version"):
-            if row.get(key) is not None:
-                return row[key]
-        for key in ("clip_ids", "video_clips", "clips"):
-            if isinstance(row.get(key), (list, tuple)):
-                return len(row[key])
+            for key in ("updated_at", "etag", "feature_count", "version"):
+                if row.get(key) is not None:
+                    return row[key]
+            for key in ("clip_ids", "video_clips", "clips"):
+                if isinstance(row.get(key), (list, tuple)):
+                    return len(row[key])
+        except Exception:  # noqa: BLE001 — version signal is best-effort;
+            pass           # a non-dict payload must not abort the job
         return None
 
     def clip_features(self, clip_id: int, hp: HyperParams) -> tuple[dict, set[int]]:
