@@ -218,8 +218,12 @@ def lk_affine_batch(
         v = p[:, 3, None, None] * xn + p[:, 4, None, None] * yn + p[:, 5, None, None]
         r = warp_fn(c1, u, v) - c0
         absr = jnp.abs(r)
-        thresh = (huber_delta * jnp.median(absr, axis=(1, 2), keepdims=True)
-                  + 1e-6)  # adaptive per pair: see lk_affine
+        # median on a 2x2-strided subsample: statistically identical scale
+        # estimate at 1/4 the sort cost (the sort is the LK loop's single
+        # most expensive op at production batch sizes)
+        thresh = (huber_delta
+                  * jnp.median(absr[:, ::2, ::2], axis=(1, 2), keepdims=True)
+                  + 1e-6)
         wgt = jnp.minimum(1.0, thresh / (absr + 1e-8))
         sw = sd * wgt[:, None]
         hess = jnp.einsum("nihw,njhw->nij", sw, sd) + 1e-6 * jnp.eye(6)
