@@ -108,6 +108,7 @@ def test_heaviside_zero_is_one():
     wg = jnp.asarray([1.0], jnp.float32)
     # score at w=1: 1 - sqrt(2*(0.1)^2/2) = 0.9
     tg = jnp.asarray([0.9], jnp.float32)
-    out = np.asarray(grid_losses(sim, labels, wg, tg, jnp.float32(0.0)))
+    out = np.asarray(grid_losses(sim, labels, wg, tg, jnp.float32(0.0),
+                                 jnp.ones(1, jnp.float32)))
     # H(0)-0 = 1 times (score-th)=0 -> loss = 0.5*0.9
     np.testing.assert_allclose(out[0, 0], 0.45, atol=1e-6)

@@ -234,3 +234,94 @@ def test_grad_source_warped_close_to_image(rng):
                                np.asarray(ui[interior]), atol=5e-3)
     np.testing.assert_allclose(np.asarray(vw[interior]),
                                np.asarray(vi[interior]), atol=5e-3)
+
+
+def test_warm_start_flow_recovers_translation(rng):
+    """Temporal warm start: pairs refined at the finest level only from a
+    neighbor pair's solution must recover the same constant translation the
+    cold full-pyramid path does (VERDICT r2 #2)."""
+    from videoquery.kernels.tvl1_pallas import (tvl1_flow_pallas,
+                                                tvl1_flow_pallas_warm)
+    from videoquery.pipeline.extract import warm_tvl1_params
+
+    h, w = 64, 128
+    img = make_texture(rng, h, w)
+    # constant velocity (2, -1) px/frame via repeated bilinear warps (the
+    # fixture style of test_full_pyramid_flow, which the cold solver is
+    # known to converge on)
+    fl = (2.0 * jnp.ones((h, w)), -1.0 * jnp.ones((h, w)))
+    frames = [img]
+    for _ in range(3):
+        frames.append(bilinear_warp(frames[-1], *fl))
+    i0 = jnp.stack(frames[:-1])
+    i1 = jnp.stack(frames[1:])
+    p = TVL1Params(n_scales=3, n_warps=4, n_iters=25)
+    with pltpu.force_tpu_interpret_mode():
+        uc, vc = tvl1_flow_pallas(i0[:1], i1[:1], p, max_disp=6)  # cold key
+        uw, vw = tvl1_flow_pallas_warm(
+            i0[1:], i1[1:],
+            jnp.broadcast_to(uc, (2, h, w)), jnp.broadcast_to(vc, (2, h, w)),
+            warm_tvl1_params(p), max_disp=6, levels=1)
+        ucold, vcold = tvl1_flow_pallas(i0[1:], i1[1:], p, max_disp=6)
+    interior = (slice(None), slice(12, -12), slice(12, -12))
+    # true flow is (-2, +1); the ultra-smooth fixture under-converges both
+    # paths equally (see test_full_pyramid_flow's 0.8 tolerance) — the
+    # normative check is warm == cold, below
+    assert abs(float(jnp.median(uw[interior])) + 2.0) < 1.3
+    assert abs(float(jnp.median(vw[interior])) - 1.0) < 0.8
+    # warm result tracks the cold solution of the SAME pairs closely
+    assert abs(float(jnp.median(uw[interior]))
+               - float(jnp.median(ucold[interior]))) < 0.25
+    assert abs(float(jnp.median(vw[interior]))
+               - float(jnp.median(vcold[interior]))) < 0.25
+
+
+def test_pair_flow_warm_plan_matches_cold_quantized(rng):
+    """_pair_flow with a warm plan must produce flow quantized within one
+    dense_flow step of the cold path on smooth synthetic motion, with the
+    scatter restoring pair order exactly."""
+    from videoquery.pipeline.extract import _pair_flow
+    from videoquery.pipeline.sampling import flow_pair_plan, flow_warm_plan
+
+    h, w = 40, 128
+    img = make_texture(rng, h, w)
+    fl = (1.5 * jnp.ones((h, w)), -0.75 * jnp.ones((h, w)))
+    frames = [img]
+    for _ in range(11):
+        frames.append(bilinear_warp(frames[-1], *fl))
+    gray = jnp.stack(frames)[None]                      # [1, 12, h, w]
+    pair_idx, _ = flow_pair_plan(12, 4, 5)
+    plan = flow_warm_plan(pair_idx, 5)
+    assert plan[1].size > 0
+    p = TVL1Params(n_scales=2, n_warps=2, n_iters=8, fine_warps=2,
+                   fine_iters=8)
+    pj = jnp.asarray(pair_idx, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        cold = np.asarray(_pair_flow(gray, pj, 20.0, False, p, (1.0, 1.0)))
+        warm = np.asarray(_pair_flow(
+            gray, pj, 20.0, False, p, (1.0, 1.0),
+            tuple(jnp.asarray(a) for a in plan)))
+    assert warm.shape == cold.shape
+    interior = (slice(None), slice(None), slice(8, -8), slice(8, -8))
+    diff = np.abs(warm[interior].astype(int) - cold[interior].astype(int))
+    assert np.median(diff) <= 1.0  # within one 8-bit flow quantization step
+
+
+def test_flow_warm_plan_structure():
+    """flow_warm_plan covers every pair exactly once, keys within each run,
+    and every warm pair maps to a key at most `group` frames away."""
+    from videoquery.pipeline.sampling import flow_pair_plan, flow_warm_plan
+
+    for frame_cnt, ticks in [(150, 25), (30, 25), (12, 4), (150, 4)]:
+        pair_idx, _ = flow_pair_plan(frame_cnt, ticks, 5)
+        key_pos, warm_pos, warm_src = flow_warm_plan(pair_idx, 5)
+        allpos = np.concatenate([key_pos, warm_pos])
+        assert sorted(allpos.tolist()) == list(range(len(pair_idx)))
+        assert len(warm_src) == len(warm_pos)
+        for wp, ws in zip(warm_pos, warm_src):
+            kp = key_pos[ws]
+            assert abs(int(pair_idx[wp]) - int(pair_idx[kp])) <= 5
+            # key and warm pair belong to the same consecutive run
+            lo, hi = min(kp, wp), max(kp, wp)
+            seg = pair_idx[lo:hi + 1]
+            assert np.all(np.diff(seg) == 1)

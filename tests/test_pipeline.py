@@ -175,6 +175,97 @@ def test_parallel_decode_matches_sequential(tmp_path):
     np.testing.assert_array_equal(par, seq)
 
 
+def test_resize_matches_cv2_oracle(rng):
+    """The parity-normative resize: the reference resizes every frame with
+    cv2.resize INTER_LINEAR inside caffe-action (calcSig_wOF.py:94,111).
+    jax.image.resize antialiases on downscale (up to 132/255 divergence on
+    640x480 input!); _resize must match cv2's two-tap kernel on BOTH down-
+    and upscale. Float oracle to float32 accumulation tolerance; the uint8
+    path only adds cv2's fixed-point rounding (<=~1.5 LSB)."""
+    import cv2
+
+    from videoquery.pipeline.preprocess import _resize
+
+    for h0, w0 in [(480, 640), (240, 320), (257, 341), (720, 1280)]:
+        img = rng.integers(0, 255, (h0, w0, 3), np.uint8)
+        oracle_f = cv2.resize(img.astype(np.float32), (340, 256),
+                              interpolation=cv2.INTER_LINEAR)
+        oracle_u8 = cv2.resize(img, (340, 256),
+                               interpolation=cv2.INTER_LINEAR)
+        import jax.numpy as jnp
+
+        got = np.asarray(_resize(jnp.asarray(img, jnp.float32), 340, 256))
+        assert np.abs(got - oracle_f).max() <= 5e-3, (h0, w0)
+        assert np.abs(got - oracle_u8.astype(np.float32)).max() <= 2.0
+
+
+def test_preprocess_rgb_matches_cv2_oracle(rng):
+    """Full preprocess chain (resize -> center crop -> BGR mean subtract)
+    against a cv2-based oracle on a batch of frames."""
+    import cv2
+    import jax.numpy as jnp
+
+    from videoquery.pipeline.preprocess import BGR_MEAN, preprocess_rgb
+
+    frames = rng.integers(0, 255, (3, 480, 640, 3), np.uint8)
+    got = np.asarray(preprocess_rgb(jnp.asarray(frames)))
+    for i in range(3):
+        r = cv2.resize(frames[i].astype(np.float32), (340, 256),
+                       interpolation=cv2.INTER_LINEAR)
+        top, left = (256 - 224) // 2, (340 - 224) // 2
+        want = r[top:top + 224, left:left + 224] - np.asarray(BGR_MEAN)
+        assert np.abs(got[i] - want).max() <= 5e-3
+
+
+def test_parallel_decode_detects_misaligned_seek(tmp_path, monkeypatch):
+    """FFmpeg can seek to a keyframe-approximate position while still
+    echoing the requested CAP_PROP_POS_FRAMES; the overlap-frame byte check
+    must catch the shifted chunk and fall back to sequential decode."""
+    from videoquery.pipeline import decode
+
+    path = str(tmp_path / "v.mp4")
+    decode.synthesize_video(path, n_frames=130, size=(64, 48))
+    seq = decode.load_video(path)
+    real = decode._decode_range
+
+    def shifted(p, start, count, new_size):
+        frames = real(p, start, count, new_size)
+        if start == 40:  # second chunk "seeks" one frame late
+            extra = real(p, start + count, 1, new_size)
+            return frames[1:] + extra
+        return frames
+
+    monkeypatch.setattr(decode, "_decode_range", shifted)
+    par = decode.load_video_parallel(path, workers=4, chunk=40)
+    np.testing.assert_array_equal(par, seq)  # fallback result, not shifted
+
+
+def test_extract_video_stream_propagates_late_decode_error(
+        tmp_path, tsn, small_cfg):
+    """A decode failure AFTER the first emitted batch must raise, not be
+    downgraded to a truncated-video warning with partial features."""
+    path = str(tmp_path / "s.mp4")
+    decode.synthesize_video(path, n_frames=26, size=(96, 64), fps=5)
+    real = decode.video_frames
+
+    def failing(p, new_size=None, skip_first=True):
+        for i, f in enumerate(real(p, new_size, skip_first)):
+            if i >= 22:  # after the first 2-clip (20-frame) batch
+                raise RuntimeError("mid-video decode failure")
+            yield f
+
+    import videoquery.pipeline.extract as extract_mod
+    ex = Extractor(tsn, small_cfg, warped=False,
+                   tvl1=TVL1Params(n_scales=2, n_warps=1, n_iters=4))
+    orig = extract_mod.decode.video_frames
+    extract_mod.decode.video_frames = failing
+    try:
+        with pytest.raises(RuntimeError, match="mid-video"):
+            ex.extract_video_stream(path)
+    finally:
+        extract_mod.decode.video_frames = orig
+
+
 def test_extract_video_stream_matches_batch(tmp_path, tsn, small_cfg):
     """Streaming (decode-overlapped) extraction must produce the same
     signatures as load-then-extract."""

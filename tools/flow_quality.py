@@ -45,16 +45,20 @@ MOTION_CLASSES = [  # (object velocity, camera pan) — strongly distinct
 ZOOM_PER_FRAME = 0.004           # 0.4%/frame zoom-in
 
 
-def make_corpus(frames=30, h=128, w=176, seed=0, scale=1):
+def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
     """Two clips per motion class (different textures/objects, same motion):
     the retrieval metric is whether each clip's nearest flow-neighbor is its
     motion partner. scale multiplies resolution, object size AND velocities
-    (proportional motion at production-like frame sizes)."""
+    (proportional motion at production-like frame sizes).
+
+    with_truth=True additionally returns per-clip ground-truth metadata
+    (object box track + camera model) — the scenes are generated from KNOWN
+    motion fields, so endpoint error against them is free (VERDICT r2 #3)."""
     import cv2
 
     rng = np.random.default_rng(seed)
     h, w, osz = h * scale, w * scale, 28 * scale
-    clips, labels = [], []
+    clips, labels, truths = [], [], []
     for ci, (obj_v, pan) in enumerate(MOTION_CLASSES):
         for rep in range(2):
             base = rng.integers(0, 255, (h * 2, w * 2, 3), np.uint8)
@@ -62,7 +66,7 @@ def make_corpus(frames=30, h=128, w=176, seed=0, scale=1):
             base = cv2.GaussianBlur(base, (k, k), 3 * scale)
             obj = rng.integers(0, 255, (osz, osz, 3), np.uint8)
             obj_xy = np.array([w * 0.25, h * 0.25]) + rng.uniform(0, 15 * scale, 2)
-            fr = []
+            fr, track, origins = [], [], []
             for t in range(frames):
                 if pan == "zoom":
                     # camera zoom-in about the window center
@@ -71,34 +75,176 @@ def make_corpus(frames=30, h=128, w=176, seed=0, scale=1):
                     y0 = (h * 2 - ch) // 2
                     x0 = (w * 2 - cw) // 2
                     f = cv2.resize(base[y0:y0 + ch, x0:x0 + cw], (w, h))
+                    origins.append(None)
                 else:
                     ox = int(t * pan[0] * scale) % w
                     oy = int(t * pan[1] * scale) % h
                     f = base[oy:oy + h, ox:ox + w].copy()
+                    origins.append((ox, oy))
                 px = int(obj_xy[0] + t * obj_v[0] * scale) % (w - osz)
                 py = int(obj_xy[1] + t * obj_v[1] * scale) % (h - osz)
                 f[py:py + osz, px:px + osz] = obj
                 fr.append(f)
+                track.append((px, py))
             clips.append(np.stack(fr))
             labels.append(ci)
-    return np.stack(clips), np.asarray(labels)  # [C, F, H, W, 3], [C]
+            truths.append({"obj_v": obj_v, "pan": pan, "osz": osz,
+                           "track": track, "origins": origins,
+                           "scale": scale})
+    clips = np.stack(clips)
+    labels = np.asarray(labels)
+    if with_truth:
+        return clips, labels, truths
+    return clips, labels  # [C, F, H, W, 3], [C]
 
 
-def extract(clips, flow_impl, tvl1, flow_res_div, tsn):
+def truth_residual_flow(meta, t, h, w):
+    """Ground-truth CAMERA-COMPENSATED (residual) flow for pair t -> t+1,
+    or None when the pair is untestable (object or pan modulo-wrap).
+
+    Returns (field f32[h, w, 2], valid_mask bool[h, w]). Background residual
+    is 0 by construction (ideal compensation erases the pan/zoom); the
+    object box at frame t carries its true displacement minus the camera
+    field there (what TV-L1 on the ideally-warped pair measures). The
+    object's frame-t+1 footprint is masked out (occlusion/disocclusion has
+    no single ground truth)."""
+    (px0, py0), (px1, py1) = meta["track"][t], meta["track"][t + 1]
+    osz = meta["osz"]
+    scale = meta["scale"]
+    obj_v, pan = meta["obj_v"], meta["pan"]
+    # object modulo-wrap -> skip the pair
+    if (abs(px1 - px0) > abs(obj_v[0]) * scale + 1.5
+            or abs(py1 - py0) > abs(obj_v[1]) * scale + 1.5):
+        return None
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    if pan == "zoom":
+        s0 = 1.0 + ZOOM_PER_FRAME * t
+        s1 = 1.0 + ZOOM_PER_FRAME * (t + 1)
+        r = s1 / s0 - 1.0
+        cam_x = (xs - (w - 1) / 2.0) * r
+        cam_y = (ys - (h - 1) / 2.0) * r
+    else:
+        (ox0, oy0), (ox1, oy1) = meta["origins"][t], meta["origins"][t + 1]
+        dox, doy = ox1 - ox0, oy1 - oy0
+        if abs(dox) > abs(pan[0]) * scale + 1.5 or \
+                abs(doy) > abs(pan[1]) * scale + 1.5:
+            return None  # pan wrapped
+        cam_x = np.full((h, w), -float(dox), np.float32)
+        cam_y = np.full((h, w), -float(doy), np.float32)
+    field = np.zeros((h, w, 2), np.float32)
+    in_box0 = np.zeros((h, w), bool)
+    in_box0[py0:py0 + osz, px0:px0 + osz] = True
+    field[..., 0] = np.where(in_box0, (px1 - px0) - cam_x, 0.0)
+    field[..., 1] = np.where(in_box0, (py1 - py0) - cam_y, 0.0)
+    valid = np.ones((h, w), bool)
+    # frame-t+1 object footprint: disoccluded background, no ground truth
+    valid[py1:py1 + osz, px1:px1 + osz] = False
+    valid[py0:py0 + osz, px0:px0 + osz] = True  # box0 keeps its truth
+    return field, valid
+
+
+def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
+                   warm_group=0):
+    """Mean/percentile endpoint error of a flow config against the corpus's
+    known residual-motion fields, reproducing the production flow geometry
+    (grayscale, lane-aligned reduced grid, value rescale — extract.py's
+    _extract_step). Also splits EPE into object-box vs background (the
+    background number isolates camera-compensation quality).
+    warm_group > 1 evaluates the temporal warm-start path."""
+    import jax
+    import jax.numpy as jnp
+
+    c, f, h, w = clips.shape[:4]
+    gray = (0.114 * clips[..., 0].astype(np.float32)
+            + 0.587 * clips[..., 1].astype(np.float32)
+            + 0.299 * clips[..., 2].astype(np.float32)) / 255.0
+    if flow_res_div > 1:
+        fh = max(8, (h // flow_res_div) // 8 * 8)
+        fw0 = w // flow_res_div
+        fw = (fw0 // 128 * 128) if fw0 >= 128 else fw0
+        g = jax.image.resize(jnp.asarray(gray), (c, f, fh, fw), "linear")
+    else:
+        fh, fw = h, w
+        g = jnp.asarray(gray)
+    vscale = (w / fw, h / fh)
+    if impl == "pallas":
+        from videoquery.pipeline.extract import _pair_flow_uv
+        from videoquery.pipeline.sampling import flow_warm_plan
+
+        pair_idx = np.arange(f - 1, dtype=np.int32)
+        plan = None
+        if warm_group > 1:
+            kp, wp, ws = flow_warm_plan(pair_idx, warm_group)
+            if wp.size:
+                plan = (jnp.asarray(kp), jnp.asarray(wp), jnp.asarray(ws))
+        u, v = jax.jit(_pair_flow_uv, static_argnames=("warped", "tvl1"))(
+            g, jnp.asarray(pair_idx), True, tvl1, plan)
+        u = u.reshape(c * (f - 1), fh, fw)
+        v = v.reshape(c * (f - 1), fh, fw)
+    else:
+        from videoquery.kernels.tvl1 import tvl1_warped_flow
+
+        i0 = g[:, :-1].reshape(c * (f - 1), fh, fw)
+        i1 = g[:, 1:].reshape(c * (f - 1), fh, fw)
+        u, v = tvl1_warped_flow(i0, i1, tvl1)
+    u = np.asarray(jax.image.resize(u * vscale[0], (c * (f - 1), h, w),
+                                    "linear"), np.float32)
+    v = np.asarray(jax.image.resize(v * vscale[1], (c * (f - 1), h, w),
+                                    "linear"), np.float32)
+    all_e, obj_e, bg_e = [], [], []
+    for ci in range(c):
+        for t in range(f - 1):
+            gt = truth_residual_flow(truths[ci], t, h, w)
+            if gt is None:
+                continue
+            field, valid = gt
+            k = ci * (f - 1) + t
+            err = np.sqrt((u[k] - field[..., 0]) ** 2
+                          + (v[k] - field[..., 1]) ** 2)
+            m = valid.copy()
+            m[:margin] = m[-margin:] = False
+            m[:, :margin] = m[:, -margin:] = False
+            if not m.any():
+                continue
+            box = np.abs(field).sum(-1) > 0
+            all_e.append(err[m])
+            if (m & box).any():
+                obj_e.append(err[m & box])
+            bg_e.append(err[m & ~box])
+    cat = np.concatenate
+    return {
+        "epe_mean": float(cat(all_e).mean()),
+        "epe_p90": float(np.percentile(cat(all_e), 90)),
+        "epe_obj": float(cat(obj_e).mean()) if obj_e else float("nan"),
+        "epe_bg": float(cat(bg_e).mean()),
+    }
+
+
+def extract(clips, flow_impl, tvl1, flow_res_div, tsn, warm_group=0):
     import jax.numpy as jnp
 
     from videoquery.pipeline.extract import _extract_step
-    from videoquery.pipeline.sampling import frame_ticks
+    from videoquery.pipeline.sampling import (flow_pair_plan,
+                                              flow_stack_index_matrix,
+                                              flow_warm_plan, frame_ticks)
 
     c, f = clips.shape[:2]
-    from videoquery.pipeline.sampling import flow_stack_index_matrix
-
     ticks = jnp.asarray(frame_ticks(f, 9, 1) - 1, jnp.int32)
-    sidx = jnp.asarray(flow_stack_index_matrix(f, 9, 5), jnp.int32)
+    kw = {}
+    if flow_impl == "pallas":
+        pair_idx, stack_pos = flow_pair_plan(f, 9, 5)
+        sidx = jnp.asarray(stack_pos, jnp.int32)
+        kw["flow_pair_idx"] = jnp.asarray(pair_idx, jnp.int32)
+        if warm_group > 1:
+            plan = flow_warm_plan(pair_idx, warm_group)
+            if plan[1].size:
+                kw["flow_warm_plan"] = tuple(jnp.asarray(a) for a in plan)
+    else:
+        sidx = jnp.asarray(flow_stack_index_matrix(f, 9, 5), jnp.int32)
     rgb, flow = _extract_step(
         tsn.rgb.stacked_params, tsn.flow.stacked_params,
         jnp.asarray(clips), ticks, sidx, 20.0, True, tvl1,
-        (340, 256), 224, "float32", flow_impl, flow_res_div,
+        (340, 256), 224, "float32", flow_impl, flow_res_div, **kw,
     )
     return np.asarray(rgb, np.float64), np.asarray(flow, np.float64)
 
@@ -143,25 +289,33 @@ def main():
     ap.add_argument("--res_sweep", action="store_true",
                     help="sweep flow_res_div at the production schedule "
                          "instead of the schedule sweep")
+    ap.add_argument("--no_epe", action="store_true",
+                    help="skip the ground-truth endpoint-error metric "
+                         "(retrieval accuracy only)")
+    ap.add_argument("--warm", action="store_true",
+                    help="gate the temporal warm-start path vs cold at the "
+                         "production schedule")
     args = ap.parse_args()
+
+    from videoquery.pipeline.extract import PRODUCTION_TVL1
 
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=(1,))
     configs = {
         "baseline (xla full-res s5w5i30)": ("xla", TVL1Params(), 1),
         "pallas full-res": ("pallas", TVL1Params(fine_warps=2), 1),
-        "pallas half-res (production)": (
-            "pallas", TVL1Params(fine_warps=2, n_iters=20, fine_iters=15), 2),
+        # imported from the Extractor so this headline row always measures
+        # the schedule that actually ships
+        "pallas half-res (production)": ("pallas", PRODUCTION_TVL1, 2),
         "pallas quarter-res": ("pallas", TVL1Params(fine_warps=2), 4),
     }
     if args.res_sweep:
         # no XLA full-res baseline here: at --scale 2 that program faults
         # the TPU worker (full-res gather-warp over 16x30 256x352 frames);
         # partner accuracy across res_divs is the decision metric
-        prod = TVL1Params(n_scales=4, n_warps=3, fine_warps=2, n_iters=20,
-                          fine_iters=10)
         import dataclasses as _dc
 
-        gw = _dc.replace(prod, grad_source="warped")
+        gw = PRODUCTION_TVL1
+        prod = _dc.replace(gw, grad_source="image")
         configs = {
             "prod sched div2": ("pallas", prod, 2),
             "prod div2 grad=warped": ("pallas", gw, 2),
@@ -171,6 +325,13 @@ def main():
                 "pallas", _dc.replace(gw, coarse_hw=(32, 48)), 2),
             "prod sched div3": ("pallas", prod, 3),
             "prod sched div4": ("pallas", prod, 4),
+        }
+    if args.warm:
+        # 4-tuple = warm_group; the gate is warm == cold on EPE + retrieval
+        configs = {
+            "prod cold (reference)": ("pallas", PRODUCTION_TVL1, 2),
+            "prod warm group5": ("pallas", PRODUCTION_TVL1, 2, 5),
+            "prod warm group3": ("pallas", PRODUCTION_TVL1, 2, 3),
         }
     if args.sweep:
         configs.update({
@@ -189,22 +350,40 @@ def main():
                 "pallas", TVL1Params(fine_warps=2, separable_warp=False), 2),
         })
     accs = {name: [] for name in configs}
+    epes = {name: [] for name in configs}
     results = {}
     for seed in args.seeds:
-        clips, labels = make_corpus(seed=seed, scale=args.scale)
-        for name, (impl, tvl1, div) in configs.items():
+        clips, labels, truths = make_corpus(seed=seed, scale=args.scale,
+                                            with_truth=True)
+        for name, cfg in configs.items():
+            impl, tvl1, div = cfg[:3]
+            wg = cfg[3] if len(cfg) > 3 else 0
             t0 = time.time()
-            rgb, flow = extract(clips, impl, tvl1, div, tsn)
+            rgb, flow = extract(clips, impl, tvl1, div, tsn, warm_group=wg)
             if seed == args.seeds[0]:
                 results[name] = (rgb, flow)
             acc = partner_accuracy(flow, labels)
             accs[name].append(acc)
-            print(f"[{time.time()-t0:6.1f}s] seed {seed} {name:36s} "
-                  f"motion-partner retrieval accuracy: {acc:.2f}", flush=True)
+            line = (f"[{time.time()-t0:6.1f}s] seed {seed} {name:36s} "
+                    f"retrieval: {acc:.2f}")
+            if not args.no_epe:
+                e = epe_for_config(clips, truths, impl, tvl1, div,
+                                   warm_group=wg)
+                epes[name].append(e)
+                line += (f"  EPE mean {e['epe_mean']:.3f} p90 "
+                         f"{e['epe_p90']:.3f} obj {e['epe_obj']:.3f} "
+                         f"bg {e['epe_bg']:.3f}")
+            print(line, flush=True)
     if len(args.seeds) > 1:
-        print("-- mean accuracy over seeds", args.seeds)
+        print("-- mean over seeds", args.seeds)
         for name, a in accs.items():
-            print(f"{name:40s} {np.mean(a):.3f}  (per-seed {a})")
+            line = f"{name:40s} acc {np.mean(a):.3f}  (per-seed {a})"
+            if epes[name]:
+                line += ("  EPE {:.3f} obj {:.3f} bg {:.3f}".format(
+                    np.mean([e["epe_mean"] for e in epes[name]]),
+                    np.mean([e["epe_obj"] for e in epes[name]]),
+                    np.mean([e["epe_bg"] for e in epes[name]])))
+            print(line)
 
     if "baseline (xla full-res s5w5i30)" not in results:
         return

@@ -158,6 +158,12 @@ class ExtractionConfig:
     # motion-partner retrieval (incl. fast motion — the clamp covers ±16
     # native px vs ±8 at full res) at ~5x the speed; see docs/TUNING.md.
     flow_res_div: int = 2
+    # Temporal warm start (pallas path): solve the full TV-L1 pyramid for
+    # one keyframe pair per `flow_warm_group` consecutive pairs; refine the
+    # rest from their nearest key's flow at the finest level only.
+    # 0/1 disables; 5 = one key per tick stack. OFF until the EPE +
+    # retrieval gate passes on the TPU (tools/flow_quality.py --warm).
+    flow_warm_group: int = 0
 
     @property
     def frames_per_clip(self) -> int:

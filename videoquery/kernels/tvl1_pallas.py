@@ -519,27 +519,22 @@ def tvl1_flow_pallas(
     return u, v
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("p", "max_disp", "coarse_hw",
-                                    "pairs_per_program"))
-def tvl1_warped_flow_pallas(
-    I0: jax.Array,
-    I1: jax.Array,
-    p: TVL1Params = TVL1Params(),
-    max_disp: int = 8,
-    coarse_hw: tuple[int, int] | None = None,  # None -> p.coarse_hw
-    pairs_per_program: int = 1,
-) -> tuple[jax.Array, jax.Array]:
-    """Warped (camera-motion-compensated) variant on the Pallas path.
+def _camera_compensate(I0: jax.Array, I1: jax.Array, p: TVL1Params,
+                       coarse_hw: tuple[int, int] | None) -> jax.Array:
+    """Estimate global camera motion and return I1 warped to cancel it.
 
     Global motion = integer translation from one MXU cross-correlation
     (robust to pans of ANY size up to the correlation window — iterative
-    TV-L1 alone under-converges on large pans over weak texture) + an
-    affine fit (IRLS) on a small residual TV-L1 pass over the
-    translation-compensated pair. The compensation warp is integer-roll
-    translation + a small Pallas window warp for the affine residual — no
-    gathers anywhere (a gather-based affine resample tripled total flow
-    cost on this chip at ~50 ns/index)."""
+    TV-L1 alone under-converges on large pans over weak texture) + a
+    parametric (LK) affine refinement on the translation-compensated coarse
+    pair. The compensation warp is integer-roll translation + a small Pallas
+    window warp for the affine residual — no gathers anywhere (a
+    gather-based affine resample tripled total flow cost on this chip at
+    ~50 ns/index). The LK fit replaces an earlier coarse-TV-L1 +
+    IRLS-affine-fit: the TV prior flattens divergent fields (a 5% camera
+    zoom came back at <10% magnitude, so zoom/rotation stayed
+    uncompensated); direct Gauss-Newton on intensities recovers ~97% of a
+    synthetic zoom."""
     from videoquery.kernels.motion import (affine_to_native_coords,
                                            global_translation,
                                            lk_affine_batch)
@@ -556,12 +551,6 @@ def tvl1_warped_flow_pallas(
         return jnp.roll(jnp.roll(im, -ti[1], axis=0), -ti[0], axis=1)
 
     c1t = jax.vmap(roll_one)(c1, t)
-    # Parametric (LK) affine refinement on the translation-compensated
-    # coarse pair. Replaces the earlier coarse-TV-L1 + IRLS-affine-fit: the
-    # TV prior flattens divergent fields (a 5% camera zoom came back at
-    # <10% magnitude, so zoom/rotation stayed uncompensated); direct
-    # Gauss-Newton on intensities recovers ~97% of a synthetic zoom, and
-    # costs a handful of 6x6 solves instead of a 2-level TV-L1 pyramid.
     A = lk_affine_batch(
         c0, c1t,
         warp_fn=lambda img, u, v: window_warp_pallas(img, u, v, d=4),
@@ -572,6 +561,87 @@ def tvl1_warped_flow_pallas(
     A = A.at[:, 1, 2].add(t[:, 1].astype(jnp.float32))
     A = A * jnp.asarray([sx, sy])[:, None]
     A = affine_to_native_coords(A, sx, sy)
-    i1w = _affine_warp_rollwindow(I1, A, d=4)
+    return _affine_warp_rollwindow(I1, A, d=4)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "max_disp", "coarse_hw",
+                                    "pairs_per_program"))
+def tvl1_warped_flow_pallas(
+    I0: jax.Array,
+    I1: jax.Array,
+    p: TVL1Params = TVL1Params(),
+    max_disp: int = 8,
+    coarse_hw: tuple[int, int] | None = None,  # None -> p.coarse_hw
+    pairs_per_program: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Warped (camera-motion-compensated) variant on the Pallas path: the
+    two-pass structure of dense_flow's extract_warp_gpu
+    (build_wof_clips.py:70-73)."""
+    i1w = _camera_compensate(I0, I1, p, coarse_hw)
     return tvl1_flow_pallas(I0, i1w, p, max_disp=max_disp,
                             pairs_per_program=pairs_per_program)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "max_disp", "levels",
+                                    "pairs_per_program"))
+def tvl1_flow_pallas_warm(
+    I0: jax.Array,  # f32 [N, H, W] in [0, 1]
+    I1: jax.Array,
+    u0: jax.Array,  # f32 [N, H, W] initial flow (e.g. a neighbor pair's)
+    v0: jax.Array,
+    p: TVL1Params = TVL1Params(),
+    max_disp: int = 8,
+    levels: int = 1,
+    pairs_per_program: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Warm-started TV-L1: refine an initial flow running only the finest
+    `levels` pyramid levels (temporal warm start — consecutive pairs have
+    highly correlated flow, so the coarse pyramid that exists to recover
+    LARGE motion from zero is redundant when initialized from a neighbor's
+    solution; VERDICT r2 #2). The level kernel clamps flow to ±max_disp per
+    warp, matching the cold path's window."""
+    from videoquery.kernels.tvl1 import _pyramid_shapes
+
+    shapes = _pyramid_shapes(I0.shape[1], I0.shape[2], p)[:levels]
+    pyr0 = [I0]
+    pyr1 = [I1]
+    for i in range(1, len(shapes)):
+        pyr0.append(_resize2(pyr0[-1], shapes[i]))
+        pyr1.append(_resize2(pyr1[-1], shapes[i]))
+    scale = p.scale_step ** (len(shapes) - 1)
+    u = _resize2(u0, shapes[-1]) * scale
+    v = _resize2(v0, shapes[-1]) * scale
+    for i in reversed(range(len(shapes))):
+        d = max(2, round(max_disp * p.scale_step ** i))
+        u, v = tvl1_level_pallas(pyr0[i], pyr1[i], u, v, p.at_level(i), d,
+                                 pairs_per_program)
+        if i > 0:
+            inv = 1.0 / p.scale_step
+            u = _resize2(u, shapes[i - 1]) * inv
+            v = _resize2(v, shapes[i - 1]) * inv
+    return u, v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "max_disp", "coarse_hw", "levels",
+                                    "pairs_per_program"))
+def tvl1_warped_flow_pallas_warm(
+    I0: jax.Array,
+    I1: jax.Array,
+    u0: jax.Array,
+    v0: jax.Array,
+    p: TVL1Params = TVL1Params(),
+    max_disp: int = 8,
+    coarse_hw: tuple[int, int] | None = None,
+    levels: int = 1,
+    pairs_per_program: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """Warm-started warped variant: each pair still gets its OWN camera
+    compensation (camera motion changes per pair); only the residual-flow
+    solve is warm-started from the neighbor's residual."""
+    i1w = _camera_compensate(I0, I1, p, coarse_hw)
+    return tvl1_flow_pallas_warm(I0, i1w, u0, v0, p, max_disp=max_disp,
+                                 levels=levels,
+                                 pairs_per_program=pairs_per_program)

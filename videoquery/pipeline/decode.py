@@ -154,11 +154,18 @@ def load_video_parallel(path: str, new_size: tuple[int, int] | None = None,
     starts = list(range(1, total, chunk))
 
     def decode_chunk(s):
-        # the LAST chunk reads to EOF: containers may under-report their
+        # Decode one extra LEADING frame (s-1): FFmpeg echoes the requested
+        # CAP_PROP_POS_FRAMES even when the actual decode position is
+        # keyframe/time-approximate (VFR mp4s), so a positional check cannot
+        # detect a misaligned seek. Instead each chunk re-decodes its left
+        # neighbor's last frame and the stitcher compares the bytes — a
+        # shifted chunk can no longer pass silently.
+        # The LAST chunk reads to EOF: containers may under-report their
         # frame count (duration*fps estimates), and those trailing frames
-        # must not be silently dropped relative to load_video
+        # must not be silently dropped relative to load_video.
         count = chunk if s + chunk < total else 1 << 30
-        return _decode_range(path, s, count, new_size)
+        frames = _decode_range(path, s - 1, count + 1, new_size)
+        return frames[0] if frames else None, frames[1:]
 
     try:
         with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -167,7 +174,14 @@ def load_video_parallel(path: str, new_size: tuple[int, int] | None = None,
         log.warning("chunked decode failed for %s (%s); sequential fallback",
                     path, exc)
         return load_video(path, new_size)
-    frames = [f for part in parts for f in part]
+    for i in range(1, len(parts)):
+        overlap = parts[i][0]
+        prev = parts[i - 1][1]
+        if overlap is None or not prev or not np.array_equal(overlap, prev[-1]):
+            log.warning("chunked decode of %s misaligned at boundary %d; "
+                        "sequential fallback", path, i)
+            return load_video(path, new_size)
+    frames = [f for _, part in parts for f in part]
     if len(frames) < usable:
         log.warning("chunked decode of %s returned %d/%d frames; "
                     "sequential fallback", path, len(frames), usable)

@@ -40,9 +40,20 @@ from videoquery.pipeline.preprocess import (
     quantize_flow,
 )
 from videoquery.pipeline.sampling import (clip_ranges, flow_pair_plan,
+                                          flow_warm_plan,
                                           frame_ticks)
 
 log = logging.getLogger(__name__)
+
+# Production flow schedule: 4 pyramid levels, 3 warps (2 at the finest two
+# levels), 20 iters (10 fine), gradients from the warped image — the
+# best-scoring config on 3-seed motion-partner retrieval at BOTH corpus
+# scales (>= the faithful full-res 5s/5w/30i baseline, fast-motion scenes
+# included) and also the fastest (tools/flow_quality.py --sweep/--res_sweep;
+# docs/TUNING.md). tools/flow_quality.py imports this so its quality gate
+# always measures what actually ships.
+PRODUCTION_TVL1 = TVL1Params(n_scales=4, n_warps=3, fine_warps=2,
+                             n_iters=20, fine_iters=10, grad_source="warped")
 
 
 def default_flow_impl() -> str:
@@ -90,16 +101,33 @@ clip_flow = jax.jit(_clip_flow, static_argnames=("bound", "warped", "tvl1", "imp
                                                  "value_scale"))
 
 
-def _pair_flow(gray: jax.Array, pair_idx: jax.Array, bound: float,
-               warped: bool, tvl1: TVL1Params,
-               value_scale: tuple[float, float]) -> jax.Array:
-    """Flow for the selected frame pairs only (always the Pallas path — this
-    branch exists for TPU throughput). value_scale = (sx, sy) converts flow
-    values back to native pixels (the flow grid may be anisotropically
-    scaled). Returns u8 [B, P, h, w, 2]."""
+def warm_tvl1_params(tvl1: TVL1Params) -> TVL1Params:
+    """Refinement schedule for warm-started pairs: one warp pass at the
+    fine-iteration count — the init flow already carries the converged
+    large-scale motion of a neighbor pair, only the residual needs solving
+    (gated at equal EPE + retrieval vs the cold path,
+    tools/flow_quality.py)."""
+    return dataclasses.replace(
+        tvl1, n_warps=1, fine_warps=1,
+        n_iters=tvl1.fine_iters or tvl1.n_iters)
+
+
+def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
+                  tvl1: TVL1Params, warm_plan=None
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Raw (u, v) flow for the selected frame pairs, each f32 [B, P, h, w]
+    in flow-grid pixels (always the Pallas path — this branch exists for
+    TPU throughput).
+
+    warm_plan (key_pos, warm_pos, warm_src) enables the temporal warm
+    start (sampling.flow_warm_plan): keyframe pairs solve the full pyramid,
+    the rest refine their nearest key's flow at the finest level only —
+    both phases stay fully batched."""
     from videoquery.kernels.tvl1_pallas import (
         tvl1_flow_pallas,
+        tvl1_flow_pallas_warm,
         tvl1_warped_flow_pallas,
+        tvl1_warped_flow_pallas_warm,
     )
 
     b, f, h, w = gray.shape
@@ -107,10 +135,45 @@ def _pair_flow(gray: jax.Array, pair_idx: jax.Array, bound: float,
     i1 = jnp.take(gray, pair_idx + 1, axis=1)
     p = pair_idx.shape[0]
     flow_fn = tvl1_warped_flow_pallas if warped else tvl1_flow_pallas
-    u, v = flow_fn(i0.reshape(b * p, h, w), i1.reshape(b * p, h, w), tvl1,
-                   pairs_per_program=4)
+    if warm_plan is None or warm_plan[1].shape[0] == 0:
+        u, v = flow_fn(i0.reshape(b * p, h, w), i1.reshape(b * p, h, w),
+                       tvl1, pairs_per_program=4)
+        return u.reshape(b, p, h, w), v.reshape(b, p, h, w)
+
+    key_pos, warm_pos, warm_src = warm_plan
+    k = key_pos.shape[0]
+    m = warm_pos.shape[0]
+    uk, vk = flow_fn(
+        jnp.take(i0, key_pos, axis=1).reshape(b * k, h, w),
+        jnp.take(i1, key_pos, axis=1).reshape(b * k, h, w),
+        tvl1, pairs_per_program=4)
+    uk = uk.reshape(b, k, h, w)
+    vk = vk.reshape(b, k, h, w)
+    warm_fn = (tvl1_warped_flow_pallas_warm if warped
+               else tvl1_flow_pallas_warm)
+    uw, vw = warm_fn(
+        jnp.take(i0, warm_pos, axis=1).reshape(b * m, h, w),
+        jnp.take(i1, warm_pos, axis=1).reshape(b * m, h, w),
+        jnp.take(uk, warm_src, axis=1).reshape(b * m, h, w),
+        jnp.take(vk, warm_src, axis=1).reshape(b * m, h, w),
+        warm_tvl1_params(tvl1), pairs_per_program=4)
+    u = jnp.zeros((b, p, h, w), uk.dtype)
+    v = jnp.zeros((b, p, h, w), vk.dtype)
+    u = u.at[:, key_pos].set(uk).at[:, warm_pos].set(uw.reshape(b, m, h, w))
+    v = v.at[:, key_pos].set(vk).at[:, warm_pos].set(vw.reshape(b, m, h, w))
+    return u, v
+
+
+def _pair_flow(gray: jax.Array, pair_idx: jax.Array, bound: float,
+               warped: bool, tvl1: TVL1Params,
+               value_scale: tuple[float, float],
+               warm_plan=None) -> jax.Array:
+    """Quantized flow for the selected frame pairs: u8 [B, P, h, w, 2].
+    value_scale = (sx, sy) converts flow values back to native pixels (the
+    flow grid may be anisotropically scaled)."""
+    u, v = _pair_flow_uv(gray, pair_idx, warped, tvl1, warm_plan)
     uv = jnp.stack([u * value_scale[0], v * value_scale[1]], axis=-1)
-    return quantize_flow(uv.reshape(b, p, h, w, 2), bound)
+    return quantize_flow(uv, bound)
 
 
 def _ensemble_embed(params, x_flat: jax.Array, mesh=None) -> jax.Array:
@@ -163,6 +226,8 @@ def _extract_step(
     flow_res_div: int = 1,
     flow_pair_idx: jax.Array | None = None,  # i32 [P] from flow_pair_plan
     mesh=None,  # jax Mesh when the ensemble shards over a model axis
+    flow_warm_plan=None,  # (key_pos, warm_pos, warm_src) i32 arrays from
+                          # sampling.flow_warm_plan (temporal warm start)
 ):
     """The whole per-batch extraction as ONE device program:
     grayscale -> warped TV-L1 -> tick gather -> preprocess -> 6-way TSN.
@@ -195,7 +260,7 @@ def _extract_step(
         # compute flow only for the tick-consumed pairs (flow_pair_plan):
         # stack_idx then holds positions into flow_pair_idx
         flow_q = _pair_flow(gray, flow_pair_idx, bound, warped, tvl1,
-                            vscale)               # u8 [B,P,fh,fw,2]
+                            vscale, flow_warm_plan)  # u8 [B,P,fh,fw,2]
     else:
         flow_q = _clip_flow(gray, bound, warped, tvl1, flow_impl,
                             vscale)               # u8 [B,F,fh,fw,2]
@@ -286,15 +351,7 @@ class Extractor:
         self.cfg = cfg or ExtractionConfig()
         self.warped = warped
         self.dtype = dtype
-        # production flow schedule: 4 pyramid levels, 3 warps (2 at the
-        # finest two levels), 20 iters (10 fine), gradients from the warped
-        # image — the best-scoring config on 3-seed motion-partner
-        # retrieval at BOTH corpus scales (>= the faithful full-res
-        # 5s/5w/30i baseline, fast-motion scenes included) and also the
-        # fastest (tools/flow_quality.py --sweep/--res_sweep; docs/TUNING.md)
-        self.tvl1 = tvl1 or TVL1Params(n_scales=4, n_warps=3, fine_warps=2,
-                                       n_iters=20, fine_iters=10,
-                                       grad_source="warped")
+        self.tvl1 = tvl1 or PRODUCTION_TVL1
         self.flow_impl = flow_impl or default_flow_impl()
         self.flow_res_div = self.cfg.flow_res_div
         self.mesh = mesh
@@ -403,7 +460,9 @@ class Extractor:
             sigs.append(self._signature_batch(state["arr"], None, group, nums))
             done_clips.update(nums)
         t.join()
-        if state["err"] is not None and not sigs:
+        if state["err"] is not None:
+            # a decode failure must never silently truncate a video's
+            # feature set — extract_video propagates too (parity)
             raise state["err"]
         # replan on the actual decoded count: emits the tail clip and any
         # full groups the estimate missed (full-group boundaries are
@@ -434,6 +493,13 @@ class Extractor:
         pair_idx, stack_pos = flow_pair_plan(
             f_len, cfg.num_ticks, cfg.flow_stack_depth)
         use_pairs = self.flow_impl == "pallas"
+        warm = None
+        if use_pairs and cfg.flow_warm_group > 1:
+            key_pos, warm_pos, warm_src = flow_warm_plan(
+                pair_idx, cfg.flow_warm_group)
+            if warm_pos.size:
+                warm = (jnp.asarray(key_pos), jnp.asarray(warm_pos),
+                        jnp.asarray(warm_src))
         # pallas path: stack slots index into the reduced pair list; xla
         # path: slots index flow frames directly (pair_idx[pos] == the
         # clamped frame index, identical content to the full layout)
@@ -458,6 +524,7 @@ class Extractor:
             flow_pair_idx=(jnp.asarray(pair_idx, jnp.int32)
                            if use_pairs else None),
             mesh=self.mesh,
+            flow_warm_plan=warm,
         )
         # keep embeddings on device: callers batch the readback
         # (gather_signatures) — each np.asarray here costs ~35 ms of tunnel

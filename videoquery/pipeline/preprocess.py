@@ -17,19 +17,55 @@ for 10 s clips, and the fixture CSVs are the ground truth either way.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Caffe/TSN ImageNet means, BGR channel order.
 BGR_MEAN = (104.0, 117.0, 123.0)
 FLOW_MEAN = 128.0
 
 
+@functools.lru_cache(maxsize=64)
+def _cv2_linear_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] interpolation matrix reproducing cv2.resize
+    INTER_LINEAR along one axis: half-pixel source coordinates
+    src = (dst + 0.5) * n_in / n_out - 0.5, edge-clamped, and — unlike
+    jax.image.resize — NO antialiasing filter on downscale (cv2 samples
+    exactly two taps regardless of scale). The reference resizes every
+    frame and flow stack with cv2 inside caffe-action
+    (calcSig_wOF.py:94,111), so this is the parity-normative kernel."""
+    dst = np.arange(n_out, dtype=np.float64)
+    src = (dst + 0.5) * (n_in / n_out) - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    f = src - i0
+    f = np.where(i0 < 0, 0.0, f)
+    i0 = np.clip(i0, 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    a = np.zeros((n_out, n_in), np.float64)
+    a[dst.astype(np.int64), i0] += 1.0 - f
+    a[dst.astype(np.int64), i1] += f
+    return a.astype(np.float32)
+
+
 def _resize(x: jax.Array, w: int, h: int) -> jax.Array:
-    """Bilinear resize to (H=h, W=w) matching cv2.resize default."""
-    return jax.image.resize(
-        x, x.shape[:-3] + (h, w, x.shape[-1]), method="linear"
-    )
+    """Bilinear resize of [..., H, W, C] to (H=h, W=w), numerically matching
+    cv2.resize(..., (w, h)) on float input (tested against a cv2 oracle in
+    tests/test_pipeline.py). Expressed as two small matmuls — MXU-friendly
+    on TPU, and separable exactly as cv2's kernel is."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    if (h_in, w_in) == (h, w):
+        return x
+    ah = jnp.asarray(_cv2_linear_matrix(h_in, h))   # [h, h_in]
+    aw = jnp.asarray(_cv2_linear_matrix(w_in, w))   # [w, w_in]
+    # HIGHEST: at the MXU's default bf16 matmul precision the resize would
+    # drift ~1 uint8 LSB from the cv2 oracle; these matrices are tiny, the
+    # f32 pass costs nothing measurable.
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("oH,...HWc->...oWc", ah, x, precision=hi)
+    return jnp.einsum("oW,...HWc->...Hoc", aw, x, precision=hi)
 
 
 def _crop(x: jax.Array, size: int, where: str) -> jax.Array:

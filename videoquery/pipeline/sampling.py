@@ -62,6 +62,49 @@ def flow_pair_plan(frame_cnt: int, num_ticks: int = 25,
             inverse.reshape(stack_idx.shape).astype(np.int32))
 
 
+def flow_warm_plan(pair_idx: np.ndarray, group: int = 5
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Temporal warm-start plan over a pair list (VERDICT r2 #2).
+
+    Consecutive frame pairs have highly correlated flow; instead of solving
+    every pair's full TV-L1 pyramid from zero, solve a sparse set of
+    KEYFRAME pairs fully and initialize the rest from their nearest
+    keyframe's solution, refining only the finest level. Both phases stay
+    fully batched (no sequential chain): keys first, then all warm pairs at
+    once.
+
+    pair_idx is split into maximal runs of consecutive frame indices (the
+    tick stacks produce runs of ~stack_depth); within each run one key is
+    placed per `group` pairs, at block centers so no warm pair sits more
+    than ~group/2 frames from its key.
+
+    Returns (key_pos i32[K], warm_pos i32[P-K], warm_src i32[P-K]):
+    positions into pair_idx; warm pair j initializes from the flow of key
+    number warm_src[j] (an index into key_pos's order)."""
+    p = np.asarray(pair_idx)
+    n = len(p)
+    if n == 0 or group <= 1:
+        return (np.arange(n, dtype=np.int32),
+                np.zeros(0, np.int32), np.zeros(0, np.int32))
+    run_starts = [0] + [i for i in range(1, n) if p[i] != p[i - 1] + 1] + [n]
+    key_pos, warm_pos, warm_src = [], [], []
+    for a, b in zip(run_starts[:-1], run_starts[1:]):
+        r = b - a
+        n_keys = -(-r // group)
+        keys_here = [a + min(group // 2 + i * group, r - 1)
+                     for i in range(n_keys)]
+        base_key = len(key_pos)
+        key_pos.extend(keys_here)
+        for pos in range(a, b):
+            if pos in keys_here:
+                continue
+            nearest = int(np.argmin([abs(pos - k) for k in keys_here]))
+            warm_pos.append(pos)
+            warm_src.append(base_key + nearest)
+    return (np.asarray(key_pos, np.int32), np.asarray(warm_pos, np.int32),
+            np.asarray(warm_src, np.int32))
+
+
 def clip_ranges(n_frames: int, fps: int = 15, clip_seconds: int = 10,
                 min_tail_seconds: int = 2) -> list[tuple[int, int]]:
     """[(start_frame, end_frame)] 1-based inclusive ranges per clip

@@ -44,19 +44,25 @@ class GridResult:
 
 @jax.jit
 def grid_losses(
-    avg_sim_reviewed: jax.Array,  # f32[2, M]
+    avg_sim_reviewed: jax.Array,  # f32[2, M] (M possibly padded)
     labels: jax.Array,            # f32[M] in {0, 1}
     weight_grid: jax.Array,       # f32[W]
     threshold_grid: jax.Array,    # f32[T]
     ballast: jax.Array,           # f32 scalar
+    valid: jax.Array,             # f32[M] 1 for real entries, 0 for padding
 ) -> jax.Array:
-    """The full [W, T] loss surface in one fused computation."""
+    """The full [W, T] loss surface in one fused computation.
+
+    The reviewed axis arrives bucket-padded (optimize_weights): without it,
+    every distinct reviewed-match count M triggers a fresh XLA compile —
+    a multi-minute stall per revise round over a tunneled chip."""
     scores = score_weight_grid(avg_sim_reviewed, weight_grid)       # [W, M]
     d = scores[:, None, :] - threshold_grid[None, :, None]          # [W, T, M]
     heav = jnp.where(d >= 0.0, 1.0, 0.0)                            # H(0) = 1
     per_match = (heav - labels) * d * (1.0 + labels * ballast)      # [W, T, M]
-    m = jnp.asarray(labels.shape[0], per_match.dtype)
-    return (0.5 * threshold_grid[None, :] + jnp.sum(per_match, axis=-1)) / m
+    m = jnp.sum(valid)
+    return (0.5 * threshold_grid[None, :]
+            + jnp.sum(per_match * valid, axis=-1)) / m
 
 
 def _parabola_vertex(x0: float, x1: float, x2: float,
@@ -157,13 +163,24 @@ def optimize_weights(
             weight_grid, threshold_grid, ballast,
         )
     else:
+        # bucket-pad the reviewed axis (next multiple of 8) so round-to-round
+        # M changes reuse the compiled program; padding is masked out
+        m = int(labels.size)
+        mp = -(-m // 8) * 8
+        sim_p = np.zeros((2, mp), np.float32)
+        sim_p[:, :m] = avg_sim_reviewed
+        lab_p = np.zeros(mp, np.float32)
+        lab_p[:m] = labels
+        mask = np.zeros(mp, np.float32)
+        mask[:m] = 1.0
         losses = np.asarray(
             grid_losses(
-                jnp.asarray(avg_sim_reviewed, jnp.float32),
-                jnp.asarray(labels, jnp.float32),
+                jnp.asarray(sim_p),
+                jnp.asarray(lab_p),
                 jnp.asarray(weight_grid, jnp.float32),
                 jnp.asarray(threshold_grid, jnp.float32),
                 jnp.float32(ballast),
+                jnp.asarray(mask),
             ),
             dtype=np.float64,
         )

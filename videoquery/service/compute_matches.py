@@ -41,8 +41,12 @@ class SearchSetCache:
     The reference refetches and re-parses the ENTIRE search set's features
     from the API on every round of every query (ticket.py:358-382 — the
     dominant cost of a revise round at scale). Rounds of the same query (and
-    different queries over the same search set) reuse the device index; a
-    TTL bounds staleness for search sets that grow between rounds."""
+    different queries over the same search set) reuse the device index,
+    keyed by the search set's version signal — an API that exposes no
+    version-ish field gets reference semantics (refetch every round, the
+    cache is bypassed in process_job) so a grown search set can never serve
+    stale candidates. The TTL additionally bounds staleness for versioned
+    sets whose signal might lag (e.g. a coarse updated_at)."""
 
     def __init__(self, ttl_seconds: float = 300.0, max_entries: int = 4):
         self.ttl = ttl_seconds
@@ -141,14 +145,18 @@ def process_job(
             keep_host=exact, pad_multiple=512,
         )
 
-    if index_cache is not None:
+    version = (ticket.search_set_version()
+               if index_cache is not None else None)
+    if index_cache is not None and version is not None:
         # version-keyed: a search set that grew between rounds changes its
         # version (one cheap read), so stale candidates are never served
-        key = (ticket.search_set, ticket.search_set_version(),
+        key = (ticket.search_set, version,
                tuple(hp.streams), tuple(sorted(ref_splits)),
                hp.feature_name, exact)
         index = index_cache.get(key, build_index)
     else:
+        # no version signal -> reference semantics: refetch every round
+        # (ticket.py:358-382); a TTL-stale index must never be served
         index = build_index()
     table = SearchEngine(index, exact=exact).compute_similarities(
         ticket.target_features

@@ -177,6 +177,38 @@ class Ticket:
                 splits.update(fsplits)
         return features, splits
 
+    def _all_matches(self, query_result_id: int) -> list[dict]:
+        """Every match row of one query_result via the paginated list."""
+        page: int | None = 1
+        rows: list[dict] = []
+        while page is not None:
+            res = self.client.action(
+                ["matches", "list"],
+                {"query_result": query_result_id, "page": page},
+            )
+            rows.extend(res["results"])
+            page = res["pagination"]["nextPage"]
+        return rows
+
+    def _read_clips(self, clip_ids: list[int]) -> dict[int, dict]:
+        """Clip rows for a set of ids: one batched list call where the API
+        supports an id__in filter, else one read per clip (the reference's
+        only available access pattern, ticket.py:256-258)."""
+        try:
+            res = self.client.action(
+                ["video-clips", "list"],
+                {"id__in": ",".join(str(c) for c in sorted(clip_ids))},
+            )
+            rows = {r["id"]: r for r in res["results"]}
+            if all(cid in rows for cid in clip_ids):
+                return rows
+        except Exception:  # noqa: BLE001 — APIs without the filter fall back
+            pass
+        return {
+            cid: self.client.action(["video-clips", "read"], {"id": cid})
+            for cid in clip_ids
+        }
+
     # -- round outputs ---------------------------------------------------------
 
     def create_query_result(self, nround: int, hp: HyperParams) -> int:
@@ -259,6 +291,17 @@ class Ticket:
                         "min(threshold, score of lowest scoring user validated match)"])
             w.writerow(["clip #", "start time", "match type", "video pk",
                         "video clip id", "score", "duration", "notes"])
+            # The reference made 2 HTTP round-trips PER selected clip here
+            # (ticket.py:257-264: one video-clips read + one filtered
+            # matches list each); a finalize over hundreds of matches
+            # serialized hundreds of calls. One paginated matches list per
+            # query_result + one batched clip read keeps the CSV bytes
+            # identical at O(pages) calls (golden-report test).
+            match_by_clip = {
+                m["video_clip"]: m
+                for m in self._all_matches(query_result_id)
+            }
+            clip_by_id = self._read_clips(list(self.matches))
             rows = []
             for video_clip_id, score in self.matches.items():
                 if str(video_clip_id) in self.user_matches:
@@ -270,14 +313,9 @@ class Ticket:
                     match_type = "inferred match"
                 else:
                     match_type = "inferred non-match"
-                video_clip = self.client.action(
-                    ["video-clips", "read"], {"id": video_clip_id}
-                )
-                match = self.client.action(
-                    ["matches", "list"],
-                    {"query_result": query_result_id, "video_clip": video_clip_id},
-                )
-                start_time = int(match["results"][0]["match_video_time_span"].split(",")[0])
+                video_clip = clip_by_id[video_clip_id]
+                match = match_by_clip[video_clip_id]
+                start_time = int(match["match_video_time_span"].split(",")[0])
                 rows.append([
                     video_clip["clip"], str(timedelta(seconds=start_time)),
                     match_type, video_clip["video"], video_clip_id, score,

@@ -230,6 +230,9 @@ class FakeAPI:
         return self.add_video(params["name"], params.get("path", ""))
 
     def _a_clips_list(self, params):
+        id_in = None
+        if "id__in" in params:
+            id_in = {int(x) for x in str(params["id__in"]).split(",") if x}
         rows = []
         for c in self.video_clips.values():
             video = self.videos[c["video"]]
@@ -238,6 +241,8 @@ class FakeAPI:
             if "clip" in params and c["clip"] != params["clip"]:
                 continue
             if "duration" in params and c["duration"] != params["duration"]:
+                continue
+            if id_in is not None and c["id"] not in id_in:
                 continue
             rows.append(dict(c))
         return {"results": rows}
