@@ -32,7 +32,7 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
                      num_ticks: int = 25, splits=(1, 2, 3),
                      flow_scales: int = 4, flow_warps: int = 3,
                      flow_iters: int = 20, flow_fine_iters: int = 10,
-                     flow_res_div: int = 2,
+                     flow_res_div: int = 2, flow_warm_group: int | None = None,
                      dtype: str = "bfloat16") -> float:
     import jax
     import jax.numpy as jnp
@@ -63,8 +63,20 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
     pair_j = jnp.asarray(pair_idx, jnp.int32)
 
     impl = default_flow_impl()
+    if flow_warm_group is None:
+        from videoquery.core.config import ExtractionConfig
+
+        flow_warm_group = ExtractionConfig().flow_warm_group
+    warm = None
+    if impl == "pallas" and flow_warm_group > 1:
+        from videoquery.pipeline.sampling import flow_warm_plan
+
+        kp, wp, ws = flow_warm_plan(pair_idx, flow_warm_group)
+        if wp.size:
+            warm = (jnp.asarray(kp), jnp.asarray(wp), jnp.asarray(ws))
     log(f"[extract] flow impl: {impl}, tvl1 s{flow_scales} w{flow_warps} "
-        f"i{flow_iters}, flow res 1/{flow_res_div}")
+        f"i{flow_iters}, flow res 1/{flow_res_div}, warm group "
+        f"{flow_warm_group}")
 
     def step():
         r, f = _extract_step(
@@ -72,6 +84,7 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
             ticks_j, sidx_j, 20.0, True, tvl1, (340, 256), 224, dtype, impl,
             flow_res_div,
             flow_pair_idx=pair_j if impl == "pallas" else None,
+            flow_warm_plan=warm,
         )
         # block_until_ready does NOT block on the tunneled axon backend;
         # force a scalar readback to synchronize
@@ -303,74 +316,81 @@ def main():
 
     setup_jax()  # persistent compile cache: repeat runs skip 30-60s compiles
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="both",
+    ap.add_argument("--mode", default="all",
                     choices=["extract", "query", "round", "ingest", "both",
-                             "e2e"])
+                             "e2e", "all"])
     ap.add_argument("--segments", type=int, default=1_000_000)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--batch_clips", type=int, default=8)
     args = ap.parse_args()
 
+    # One JSON line for the driver; `metrics` carries every named number
+    # (VERDICT r2 #6: separate fields, not numbers stuffed into the metric
+    # name). The headline metric/value stays the extraction north star.
+    metrics: dict[str, float] = {}
+
+    def emit(metric, value, unit, vs):
+        print(json.dumps({
+            "metric": metric,
+            "value": value,
+            "unit": unit,
+            "vs_baseline": vs,
+            "metrics": metrics,
+        }))
+
+    def free_hbm():
+        import gc
+
+        import jax
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+
     rate = None
     p50 = None
-    if args.mode in ("extract", "both"):
+    if args.mode in ("extract", "both", "all"):
         rate = bench_extraction(n_batches=args.batches,
                                 batch_clips=args.batch_clips)
-    if args.mode in ("query", "both"):
+        metrics["extraction_device_clips_per_s_chip"] = round(rate, 3)
+    if args.mode in ("e2e", "all"):
+        e2e_rate, decode_rate = bench_e2e(batch_clips=args.batch_clips)
+        metrics["e2e_file_to_csvs_clips_per_s"] = round(e2e_rate, 3)
+        metrics["decode_only_clips_per_s_ceiling"] = round(decode_rate, 3)
+        if args.mode == "e2e":
+            return emit("e2e_video_file_to_csvs_throughput",
+                        round(e2e_rate, 3), "clips/s/chip",
+                        round(e2e_rate / 1000.0, 4))
+    if args.mode in ("query", "both", "all"):
         if rate is not None:
             # free the extraction working set before building the 12.6 GB
             # index (HBM is 16 GB; lingering frame/param buffers tip it over)
-            import gc
-
-            import jax
-
-            gc.collect()
-            jax.clear_caches()
-            gc.collect()
+            free_hbm()
         p50 = bench_query(n_segments=args.segments)
-    if args.mode == "ingest":
-        rows_per_s = bench_ingest()
-        print(json.dumps({
-            "metric": "csv_ingest_rows_per_sec",
-            "value": round(rows_per_s, 1),
-            "unit": "rows/s",
-            "vs_baseline": None,
-        }))
-        return
-    if args.mode == "e2e":
-        rate, _ = bench_e2e(batch_clips=args.batch_clips)
-        print(json.dumps({
-            "metric": "e2e_video_file_to_csvs_throughput",
-            "value": round(rate, 3),
-            "unit": "clips/s/chip",
-            "vs_baseline": round(rate / 1000.0, 4),
-        }))
-        return
-    if args.mode == "round":
+        metrics["query_p50_ms_batch16_%dk_segments" % (args.segments // 1000)] \
+            = round(p50, 2)
+        metrics["query_p50_ms_per_query"] = round(p50 / 16, 3)
+    if args.mode in ("round", "all"):
+        if args.mode == "all":
+            free_hbm()
         r50 = bench_round()
-        print(json.dumps({
-            "metric": "revise_round_p50_over_100k_segments",
-            "value": round(r50, 1),
-            "unit": "ms",
-            "vs_baseline": round(5000.0 / r50, 3),  # vs the 5 s poll period
-        }))
-        return
+        metrics["revise_round_p50_ms_100k_segments"] = round(r50, 1)
+        if args.mode == "round":
+            return emit("revise_round_p50_over_100k_segments",
+                        round(r50, 1), "ms", round(5000.0 / r50, 3))
+    if args.mode in ("ingest", "all"):
+        rows_per_s = bench_ingest()
+        metrics["ingest_csv_rows_per_s"] = round(rows_per_s, 1)
+        if args.mode == "ingest":
+            return emit("csv_ingest_rows_per_sec", round(rows_per_s, 1),
+                        "rows/s", None)
 
     if rate is not None:
-        print(json.dumps({
-            "metric": "two_stream_extraction_throughput"
-                      + ("_and_query_p50_ms_%.1f" % p50 if p50 is not None else ""),
-            "value": round(rate, 3),
-            "unit": "clips/s/chip",
-            "vs_baseline": round(rate / 1000.0, 4),
-        }))
+        emit("two_stream_extraction_throughput", round(rate, 3),
+             "clips/s/chip", round(rate / 1000.0, 4))
     else:
-        print(json.dumps({
-            "metric": "query_p50_over_%d_segments" % args.segments,
-            "value": round(p50, 2),
-            "unit": "ms",
-            "vs_baseline": round(100.0 / p50, 3),
-        }))
+        emit("query_p50_over_%d_segments" % args.segments, round(p50, 2),
+             "ms", round(100.0 / p50, 3))
 
 
 if __name__ == "__main__":

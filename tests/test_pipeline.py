@@ -18,9 +18,11 @@ def small_cfg():
     # tiny geometry to keep CPU tests quick; same code path as production
     # min_tail 1 s so a 6-frame tail clip exists (at fps=5, the reference's
     # 2 s minimum equals a full 2 s clip and no tail could ever form)
+    # decode_at_target=False keeps CPU flow at the small synthetic
+    # resolution (the decode-at-target path is covered by its own test)
     return ExtractionConfig(fps=5, clip_seconds=2, num_ticks=5,
                             frame_resize=(340, 256), batch_clips=2,
-                            min_tail_seconds=1)
+                            min_tail_seconds=1, decode_at_target=False)
 
 
 @pytest.fixture(scope="module")
@@ -264,6 +266,35 @@ def test_extract_video_stream_propagates_late_decode_error(
             ex.extract_video_stream(path)
     finally:
         extract_mod.decode.video_frames = orig
+
+
+def test_decode_at_target_scale(tmp_path, tsn):
+    """decode_at_target decodes straight to frame_resize: identical
+    signatures when the source already IS frame_resize (same-size
+    cv2.resize is the identity), and a fixed flow geometry for other
+    sources."""
+    cfg = dict(fps=5, clip_seconds=2, num_ticks=3, frame_resize=(120, 96),
+               crop_size=64, batch_clips=2, min_tail_seconds=1)
+    tvl1 = TVL1Params(n_scales=2, n_warps=1, n_iters=4)
+    path = str(tmp_path / "native.mp4")
+    decode.synthesize_video(path, n_frames=20, size=(120, 96))
+    ex_on = Extractor(tsn, ExtractionConfig(decode_at_target=True, **cfg),
+                      warped=False, tvl1=tvl1)
+    ex_off = Extractor(tsn, ExtractionConfig(decode_at_target=False, **cfg),
+                       warped=False, tvl1=tvl1)
+    a = ex_on.extract_video(path)
+    b = ex_off.extract_video(path)
+    for s1, s2 in zip(a, b):
+        np.testing.assert_allclose(np.asarray(s1.rgb), np.asarray(s2.rgb),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1.flow), np.asarray(s2.flow),
+                                   rtol=1e-5, atol=1e-6)
+    # a different native resolution decodes into the SAME device geometry
+    path2 = str(tmp_path / "big.mp4")
+    decode.synthesize_video(path2, n_frames=20, size=(160, 128))
+    c = ex_on.extract_video(path2)
+    assert c[0].rgb.shape == a[0].rgb.shape
+    assert np.isfinite(np.asarray(c[0].rgb)).all()
 
 
 def test_extract_video_stream_matches_batch(tmp_path, tsn, small_cfg):

@@ -57,17 +57,44 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=[128, 128])
     ap.add_argument("--sweep", type=int, nargs="+", default=[4, 8, 16, 32])
     ap.add_argument("--levels", action="store_true", help="per-level timing")
+    ap.add_argument("--warm", action="store_true",
+                    help="time the temporal warm-start two-phase path "
+                         "(groups 3/5) against cold at the production "
+                         "schedule")
     args = ap.parse_args()
 
     from videoquery.core.jaxsetup import setup_jax
     setup_jax()
     from videoquery.kernels.tvl1_pallas import (
         tvl1_flow_pallas, tvl1_warped_flow_pallas, tvl1_level_pallas)
+    from videoquery.pipeline.extract import PRODUCTION_TVL1
 
     n = args.pairs
     h, w = args.hw
     i0, i1 = make_inputs(n, h, w)
-    p = TVL1Params(fine_warps=2)
+    p = PRODUCTION_TVL1
+
+    if args.warm:
+        import jax.numpy as jnp2
+
+        from videoquery.pipeline.extract import _pair_flow_uv
+        from videoquery.pipeline.sampling import flow_warm_plan
+
+        # consecutive-pair "video": gray[t+1] = gray[t] pairs, the real
+        # temporal structure the warm start exploits
+        gray = jnp.concatenate([i0[:1], i1], axis=0)[None]  # [1, n+1, h, w]
+        pair_idx = np.arange(n, dtype=np.int32)
+        fn = jax.jit(_pair_flow_uv, static_argnames=("warped", "tvl1"))
+        for wg in (0, 5, 3):
+            plan = None
+            if wg:
+                kp, wp_, ws = flow_warm_plan(pair_idx, wg)
+                plan = (jnp.asarray(kp), jnp.asarray(wp_), jnp.asarray(ws))
+            dt, _ = timeit(fn, gray, jnp.asarray(pair_idx), True, p, plan)
+            label = f"warm g{wg}" if wg else "cold    "
+            print(f"warped prod {label}: {dt*1e3:8.1f} ms for {n} pairs "
+                  f"({n/dt:8.1f} pairs/s)")
+        return
 
     print(f"== geometry: {n} pairs @ {h}x{w}, params {p.n_scales}s/"
           f"{p.n_warps}w/{p.n_iters}i fine_warps={p.fine_warps}")

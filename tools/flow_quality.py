@@ -187,37 +187,50 @@ def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
         i0 = g[:, :-1].reshape(c * (f - 1), fh, fw)
         i1 = g[:, 1:].reshape(c * (f - 1), fh, fw)
         u, v = tvl1_warped_flow(i0, i1, tvl1)
-    u = np.asarray(jax.image.resize(u * vscale[0], (c * (f - 1), h, w),
-                                    "linear"), np.float32)
-    v = np.asarray(jax.image.resize(v * vscale[1], (c * (f - 1), h, w),
-                                    "linear"), np.float32)
-    all_e, obj_e, bg_e = [], [], []
+
+    # ground truth + masks assembled host-side, error reduced ON DEVICE:
+    # downloading the upsampled fields costs minutes over the tunnel's
+    # ~0.7 MB/s readback; 4 scalars cost nothing
+    gts, valids, boxes, keep = [], [], [], []
     for ci in range(c):
         for t in range(f - 1):
             gt = truth_residual_flow(truths[ci], t, h, w)
             if gt is None:
+                gts.append(np.zeros((h, w, 2), np.float32))
+                valids.append(np.zeros((h, w), bool))
+                boxes.append(np.zeros((h, w), bool))
+                keep.append(False)
                 continue
             field, valid = gt
-            k = ci * (f - 1) + t
-            err = np.sqrt((u[k] - field[..., 0]) ** 2
-                          + (v[k] - field[..., 1]) ** 2)
             m = valid.copy()
             m[:margin] = m[-margin:] = False
             m[:, :margin] = m[:, -margin:] = False
-            if not m.any():
-                continue
-            box = np.abs(field).sum(-1) > 0
-            all_e.append(err[m])
-            if (m & box).any():
-                obj_e.append(err[m & box])
-            bg_e.append(err[m & ~box])
-    cat = np.concatenate
-    return {
-        "epe_mean": float(cat(all_e).mean()),
-        "epe_p90": float(np.percentile(cat(all_e), 90)),
-        "epe_obj": float(cat(obj_e).mean()) if obj_e else float("nan"),
-        "epe_bg": float(cat(bg_e).mean()),
-    }
+            gts.append(field)
+            valids.append(m)
+            boxes.append(np.abs(field).sum(-1) > 0)
+            keep.append(m.any())
+    # pass the truth tensors as ARGUMENTS: closed-over arrays are baked into
+    # the HLO as constants, and 90+ MB of program literals takes minutes to
+    # ship through the remote-compile tunnel
+    gt_j = jnp.asarray(np.stack(gts))
+    valid_j = jnp.asarray(np.stack(valids)) & jnp.asarray(keep)[:, None, None]
+    box_j = jnp.asarray(np.stack(boxes))
+
+    @jax.jit
+    def stats(u_, v_, gt, valid, box):
+        uu = jax.image.resize(u_ * vscale[0], (c * (f - 1), h, w), "linear")
+        vv = jax.image.resize(v_ * vscale[1], (c * (f - 1), h, w), "linear")
+        err = jnp.sqrt((uu - gt[..., 0]) ** 2 + (vv - gt[..., 1]) ** 2)
+        nan = jnp.float32(jnp.nan)
+        masked = jnp.where(valid, err, nan)
+        obj = jnp.where(valid & box, err, nan)
+        bg = jnp.where(valid & ~box, err, nan)
+        return (jnp.nanmean(masked), jnp.nanpercentile(masked, 90),
+                jnp.nanmean(obj), jnp.nanmean(bg))
+
+    mean, p90, obj, bg = (float(x)
+                          for x in stats(u, v, gt_j, valid_j, box_j))
+    return {"epe_mean": mean, "epe_p90": p90, "epe_obj": obj, "epe_bg": bg}
 
 
 def extract(clips, flow_impl, tvl1, flow_res_div, tsn, warm_group=0):
@@ -272,6 +285,10 @@ def partner_accuracy(emb, labels):
 
 def main():
     import jax
+
+    from videoquery.core.jaxsetup import setup_jax
+
+    setup_jax()  # persistent compile cache across gate invocations
 
     from videoquery.kernels.tvl1 import TVL1Params
     from videoquery.nn.tsn import TwoStreamTSN

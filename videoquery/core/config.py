@@ -164,6 +164,14 @@ class ExtractionConfig:
     # 0/1 disables; 5 = one key per tick stack. OFF until the EPE +
     # retrieval gate passes on the TPU (tools/flow_quality.py --warm).
     flow_warm_group: int = 0
+    # Decode video files straight to frame_resize (one cv2 resize at decode
+    # time — the same single resize the reference's predict_single_frame
+    # applies to native frames, calcSig_wOF.py:94). Fixes the device
+    # program geometry across input resolutions (native-res decode meant
+    # one XLA compile AND a different flow grid per video resolution) and
+    # shrinks host->device transfers for >SD inputs. The flow stream then
+    # always runs at frame_resize/flow_res_div.
+    decode_at_target: bool = True
 
     @property
     def frames_per_clip(self) -> int:

@@ -409,6 +409,8 @@ class Extractor:
         the container reports no frame count."""
         import threading
 
+        if new_size is None:
+            new_size = self._decode_size()
         total = decode.probe_frame_count(path)
         if total <= 1:
             return self.extract_video(path)
@@ -531,8 +533,14 @@ class Extractor:
         # readback per batch
         return ClipSignatures(nums, rgb_emb, flow_emb, self.tsn.rgb.splits)
 
+    def _decode_size(self) -> tuple[int, int] | None:
+        """(W, H) to decode at — frame_resize when decode_at_target (one
+        cv2 resize at decode, device geometry fixed across input
+        resolutions), else native."""
+        return self.cfg.frame_resize if self.cfg.decode_at_target else None
+
     def extract_video(self, path: str) -> list[ClipSignatures]:
-        frames = decode.load_video(path)
+        frames = decode.load_video(path, new_size=self._decode_size())
         return gather_signatures(list(self.extract_frames(frames)))
 
     # -- reference-format CSV output (calcSig_wOF.py:116-134 layout) ---------
