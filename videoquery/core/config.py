@@ -161,9 +161,13 @@ class ExtractionConfig:
     # Temporal warm start (pallas path): solve the full TV-L1 pyramid for
     # one keyframe pair per `flow_warm_group` consecutive pairs; refine the
     # rest from their nearest key's flow at the finest level only.
-    # 0/1 disables; 5 = one key per tick stack. OFF until the EPE +
-    # retrieval gate passes on the TPU (tools/flow_quality.py --warm).
-    flow_warm_group: int = 0
+    # 0/1 disables. 3 is the production default: ground-truth EPE is
+    # IDENTICAL to cold (mean 0.235 vs 0.235 at scale 1, 0.396 vs 0.397 at
+    # scale 2; object/background splits equal to 3 decimals) and 3-seed
+    # retrieval matches/beats cold (0.685 vs 0.667 at scale 1), while
+    # cutting ~45% of TV-L1 cost (tools/flow_quality.py --warm;
+    # tools/flow_bench.py --warm; docs/TUNING.md).
+    flow_warm_group: int = 3
     # Decode video files straight to frame_resize (one cv2 resize at decode
     # time — the same single resize the reference's predict_single_frame
     # applies to native frames, calcSig_wOF.py:94). Fixes the device
