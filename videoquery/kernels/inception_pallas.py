@@ -14,13 +14,19 @@ inception definitions, rgb deploy :47-739). The 2 stride-2 reduction
 blocks (3c, 4e) stay on the XLA path: they are 2 of 10 and their strided
 convs/pools reshape the tile geometry.
 
-STATUS: experimental, OFF by default (bn_inception.apply(fused_blocks=...)).
-Correct (interpret-mode tests vs the XLA block), but on the current
-jax 0.9 / v5e remote-compile stack Mosaic takes ~12 MINUTES per block
-kernel to compile (the 9-tap unrolled dot chains at 14x14/7x7 with
-unaligned spatial slices explode lowering time), which makes it unusable
-in production here. Revisit when Mosaic's shape-cast/layout inference
-handles merged spatial dims.
+STATUS: experimental, OFF by default (bn_inception.apply(fused_blocks=...)),
+and — per the round-3 roofline account (tools/cnn_roofline.py,
+docs/TUNING.md) — CORRECTLY off on this chip: the unfused ensemble forward
+already runs at ~93% of the chip's measured bf16 matmul peak (91.5 ms
+MXU-only bound vs ~98 ms measured for both streams), i.e. it is
+COMPUTE-bound here, and a traffic-reducing fusion cannot improve it. The
+kernel matters on healthy-HBM/full-clock v5e parts, where the analytic
+xla-traffic bound (~41 ms) exceeds the healthy MXU bound (~27 ms) and
+ideal fusion (~16 GB -> ~8 GB per batch) roughly halves the
+bandwidth-bound time. Secondary blocker on this stack: Mosaic takes ~12
+MINUTES per block kernel to compile (the 9-tap unrolled dot chains at
+14x14/7x7 with unaligned spatial slices explode lowering time); revisit
+both together when targeting healthy hardware.
 
 Correctness notes:
 - Caffe AVE pool (zero padding, constant 9 denominator) falls out of the
