@@ -268,6 +268,37 @@ def test_extract_video_stream_propagates_late_decode_error(
         extract_mod.decode.video_frames = orig
 
 
+def test_tail_clip_padding_is_identical(tsn, small_cfg, synthetic_frames):
+    """Tail clips are padded to frames_per_clip for compile-geometry reuse;
+    the ticks/stacks never index the padding, so signatures must be
+    IDENTICAL to running the unpadded tail through the device program."""
+    import jax.numpy as jnp
+
+    from videoquery.pipeline.extract import _extract_step
+    from videoquery.pipeline.sampling import frame_ticks, flow_pair_plan
+
+    ex = Extractor(tsn, small_cfg, warped=False,
+                   tvl1=TVL1Params(n_scales=2, n_warps=1, n_iters=4))
+    sigs = {n: s for s in ex.extract_frames(synthetic_frames)
+            for n in s.clip_numbers}
+    # clip 3 is the 6-frame tail (26 frames, 10/clip, min_tail 1 s @ 5 fps)
+    got = np.asarray(sigs[3].rgb)[:, list(sigs[3].clip_numbers).index(3)]
+
+    tail = synthetic_frames[20:26]                     # frames 21..26
+    cfg = small_cfg
+    ticks = frame_ticks(6, cfg.num_ticks, 1) - 1
+    pair_idx, stack_pos = flow_pair_plan(6, cfg.num_ticks,
+                                         cfg.flow_stack_depth)
+    rgb, _ = _extract_step(
+        tsn.rgb.stacked_params, tsn.flow.stacked_params,
+        jnp.asarray(tail[None]), jnp.asarray(ticks, jnp.int32),
+        jnp.asarray(pair_idx[stack_pos], jnp.int32), cfg.flow_bound, False,
+        TVL1Params(n_scales=2, n_warps=1, n_iters=4), cfg.frame_resize,
+        cfg.crop_size, "float32", "xla", cfg.flow_res_div)
+    np.testing.assert_allclose(got, np.asarray(rgb)[:, 0], rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_decode_at_target_scale(tmp_path, tsn):
     """decode_at_target decodes straight to frame_resize: identical
     signatures when the source already IS frame_resize (same-size

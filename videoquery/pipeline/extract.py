@@ -491,6 +491,16 @@ class Extractor:
         cfg = self.cfg
         f_len = group[0][1] - group[0][0] + 1
         clip_rgb = np.stack([frames[s - 1:e] for s, e in group])     # [B,F,H,W,3]
+        if f_len < cfg.frames_per_clip:
+            # pad tail clips to the full-clip frame count with repeats of
+            # the last frame: ticks/stacks/pairs are computed from the REAL
+            # f_len below and never index the padding, so the embeddings
+            # are identical (tested) — but every tail length now reuses ONE
+            # compiled program geometry instead of compiling per length
+            # (multi-minute XLA compiles over the tunnel per new video)
+            rep = np.repeat(clip_rgb[:, -1:],
+                            cfg.frames_per_clip - f_len, axis=1)
+            clip_rgb = np.concatenate([clip_rgb, rep], axis=1)
         ticks_rgb = frame_ticks(f_len, cfg.num_ticks, 1)             # 1-based
         pair_idx, stack_pos = flow_pair_plan(
             f_len, cfg.num_ticks, cfg.flow_stack_depth)
