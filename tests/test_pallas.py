@@ -314,14 +314,16 @@ def test_flow_warm_plan_structure():
 
     for frame_cnt, ticks in [(150, 25), (30, 25), (12, 4), (150, 4)]:
         pair_idx, _ = flow_pair_plan(frame_cnt, ticks, 5)
-        key_pos, warm_pos, warm_src = flow_warm_plan(pair_idx, 5)
-        allpos = np.concatenate([key_pos, warm_pos])
-        assert sorted(allpos.tolist()) == list(range(len(pair_idx)))
-        assert len(warm_src) == len(warm_pos)
-        for wp, ws in zip(warm_pos, warm_src):
-            kp = key_pos[ws]
-            assert abs(int(pair_idx[wp]) - int(pair_idx[kp])) <= 5
-            # key and warm pair belong to the same consecutive run
-            lo, hi = min(kp, wp), max(kp, wp)
-            seg = pair_idx[lo:hi + 1]
-            assert np.all(np.diff(seg) == 1)
+        for group in (2, 3, 5):
+            key_pos, warm_pos, warm_src = flow_warm_plan(pair_idx, group)
+            allpos = np.concatenate([key_pos, warm_pos])
+            assert sorted(allpos.tolist()) == list(range(len(pair_idx))), \
+                (frame_cnt, ticks, group)
+            assert len(warm_src) == len(warm_pos)
+            for wp, ws in zip(warm_pos, warm_src):
+                kp = key_pos[ws]
+                assert abs(int(pair_idx[wp]) - int(pair_idx[kp])) <= group
+                # key and warm pair belong to the same consecutive run
+                lo, hi = min(kp, wp), max(kp, wp)
+                seg = pair_idx[lo:hi + 1]
+                assert np.all(np.diff(seg) == 1)

@@ -297,10 +297,11 @@ class Ticket:
             # serialized hundreds of calls. One paginated matches list per
             # query_result + one batched clip read keeps the CSV bytes
             # identical at O(pages) calls (golden-report test).
-            match_by_clip = {
-                m["video_clip"]: m
-                for m in self._all_matches(query_result_id)
-            }
+            match_by_clip: dict[int, dict] = {}
+            for m in self._all_matches(query_result_id):
+                # first row wins: parity with the reference's results[0] on
+                # its per-clip filtered list (ticket.py:259-264)
+                match_by_clip.setdefault(m["video_clip"], m)
             clip_by_id = self._read_clips(list(self.matches))
             rows = []
             for video_clip_id, score in self.matches.items():
