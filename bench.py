@@ -129,7 +129,9 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
     decode.synthesize_video(video, n_frames=n_frames, size=hw)
 
     t0 = time.time()
-    frames = decode.load_video_parallel(video)
+    # decode at target scale, matching what the Extractor now does
+    # (ExtractionConfig.decode_at_target)
+    frames = decode.load_video_parallel(video, new_size=hw)
     decode_s = time.time() - t0
     log(f"[e2e] decode-only: {len(frames)} frames in {decode_s:.2f}s "
         f"({len(frames)/decode_s:.0f} fps, "
