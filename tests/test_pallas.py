@@ -327,3 +327,27 @@ def test_flow_warm_plan_structure():
                 lo, hi = min(kp, wp), max(kp, wp)
                 seg = pair_idx[lo:hi + 1]
                 assert np.all(np.diff(seg) == 1)
+
+
+def test_warm_camera_key_matches_own_on_constant_pan(rng):
+    """warm_camera='key' reuses the keyframe's camera affine; on constant
+    camera motion it must produce the same flow as per-pair estimation."""
+    from videoquery.pipeline.extract import _pair_flow_uv
+    from videoquery.pipeline.sampling import flow_warm_plan
+
+    h, w = 48, 128
+    big = make_texture(rng, h + 40, w + 40)
+    frames = [np.asarray(big[8 + 3 * t:8 + 3 * t + h, 8 + 2 * t:8 + 2 * t + w])
+              for t in range(8)]          # constant pan (2, 3) px/frame
+    gray = jnp.stack([jnp.asarray(f) for f in frames])[None]
+    pair_idx = np.arange(7, dtype=np.int32)
+    plan = tuple(jnp.asarray(a) for a in flow_warm_plan(pair_idx, 3))
+    p = TVL1Params(n_scales=2, n_warps=2, n_iters=8)
+    with pltpu.force_tpu_interpret_mode():
+        u_own, v_own = _pair_flow_uv(gray, jnp.asarray(pair_idx), True, p,
+                                     plan, "own")
+        u_key, v_key = _pair_flow_uv(gray, jnp.asarray(pair_idx), True, p,
+                                     plan, "key")
+    interior = (slice(None), slice(None), slice(10, -10), slice(10, -10))
+    assert float(jnp.median(jnp.abs(u_key[interior] - u_own[interior]))) < 0.15
+    assert float(jnp.median(jnp.abs(v_key[interior] - v_own[interior]))) < 0.15

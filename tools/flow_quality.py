@@ -41,8 +41,15 @@ MOTION_CLASSES = [  # (object velocity, camera pan) — strongly distinct
                                  # the parametric (LK) compensation — the
                                  # TV-flow-affine-fit estimator left zooms
                                  # uncompensated
+    ((-2.5, -2.5), "jitter"),    # handheld-style pan with per-frame random
+                                 # jitter: camera motion is NOT smooth
+                                 # between neighbor pairs, so any scheme
+                                 # that reuses a neighbor's camera estimate
+                                 # (warm-start shortcuts) is punished here
 ]
 ZOOM_PER_FRAME = 0.004           # 0.4%/frame zoom-in
+JITTER_PAN = (1.5, 0.0)          # mean pan of the jitter class
+JITTER_STD = 1.25                # px/frame camera jitter (per axis)
 
 
 def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
@@ -67,6 +74,8 @@ def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
             obj = rng.integers(0, 255, (osz, osz, 3), np.uint8)
             obj_xy = np.array([w * 0.25, h * 0.25]) + rng.uniform(0, 15 * scale, 2)
             fr, track, origins = [], [], []
+            jitter = (rng.normal(0, JITTER_STD * scale, (frames, 2))
+                      if pan == "jitter" else None)
             for t in range(frames):
                 if pan == "zoom":
                     # camera zoom-in about the window center
@@ -77,8 +86,11 @@ def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
                     f = cv2.resize(base[y0:y0 + ch, x0:x0 + cw], (w, h))
                     origins.append(None)
                 else:
-                    ox = int(t * pan[0] * scale) % w
-                    oy = int(t * pan[1] * scale) % h
+                    px_, py_ = (JITTER_PAN if pan == "jitter" else pan)
+                    ox = int(t * px_ * scale
+                             + (jitter[t, 0] if jitter is not None else 0)) % w
+                    oy = int(t * py_ * scale
+                             + (jitter[t, 1] if jitter is not None else 0)) % h
                     f = base[oy:oy + h, ox:ox + w].copy()
                     origins.append((ox, oy))
                 px = int(obj_xy[0] + t * obj_v[0] * scale) % (w - osz)
@@ -126,8 +138,13 @@ def truth_residual_flow(meta, t, h, w):
     else:
         (ox0, oy0), (ox1, oy1) = meta["origins"][t], meta["origins"][t + 1]
         dox, doy = ox1 - ox0, oy1 - oy0
-        if abs(dox) > abs(pan[0]) * scale + 1.5 or \
-                abs(doy) > abs(pan[1]) * scale + 1.5:
+        if pan == "jitter":
+            lim_x = (abs(JITTER_PAN[0]) + 5 * JITTER_STD) * scale + 1.5
+            lim_y = (abs(JITTER_PAN[1]) + 5 * JITTER_STD) * scale + 1.5
+        else:
+            lim_x = abs(pan[0]) * scale + 1.5
+            lim_y = abs(pan[1]) * scale + 1.5
+        if abs(dox) > lim_x or abs(doy) > lim_y:
             return None  # pan wrapped
         cam_x = np.full((h, w), -float(dox), np.float32)
         cam_y = np.full((h, w), -float(doy), np.float32)
@@ -144,7 +161,7 @@ def truth_residual_flow(meta, t, h, w):
 
 
 def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
-                   warm_group=0):
+                   warm_group=0, warm_camera="own"):
     """Mean/percentile endpoint error of a flow config against the corpus's
     known residual-motion fields, reproducing the production flow geometry
     (grayscale, lane-aligned reduced grid, value rescale — extract.py's
@@ -177,8 +194,10 @@ def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
             kp, wp, ws = flow_warm_plan(pair_idx, warm_group)
             if wp.size:
                 plan = (jnp.asarray(kp), jnp.asarray(wp), jnp.asarray(ws))
-        u, v = jax.jit(_pair_flow_uv, static_argnames=("warped", "tvl1"))(
-            g, jnp.asarray(pair_idx), True, tvl1, plan)
+        u, v = jax.jit(_pair_flow_uv,
+                       static_argnames=("warped", "tvl1", "warm_camera"))(
+            g, jnp.asarray(pair_idx), True, tvl1, plan,
+            warm_camera=warm_camera)
         u = u.reshape(c * (f - 1), fh, fw)
         v = v.reshape(c * (f - 1), fh, fw)
     else:
@@ -233,7 +252,8 @@ def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
     return {"epe_mean": mean, "epe_p90": p90, "epe_obj": obj, "epe_bg": bg}
 
 
-def extract(clips, flow_impl, tvl1, flow_res_div, tsn, warm_group=0):
+def extract(clips, flow_impl, tvl1, flow_res_div, tsn, warm_group=0,
+            warm_camera="own"):
     import jax.numpy as jnp
 
     from videoquery.pipeline.extract import _extract_step
@@ -257,7 +277,8 @@ def extract(clips, flow_impl, tvl1, flow_res_div, tsn, warm_group=0):
     rgb, flow = _extract_step(
         tsn.rgb.stacked_params, tsn.flow.stacked_params,
         jnp.asarray(clips), ticks, sidx, 20.0, True, tvl1,
-        (340, 256), 224, "float32", flow_impl, flow_res_div, **kw,
+        (340, 256), 224, "float32", flow_impl, flow_res_div,
+        flow_warm_camera=warm_camera, **kw,
     )
     return np.asarray(rgb, np.float64), np.asarray(flow, np.float64)
 
@@ -344,11 +365,14 @@ def main():
             "prod sched div4": ("pallas", prod, 4),
         }
     if args.warm:
-        # 4-tuple = warm_group; the gate is warm == cold on EPE + retrieval
+        # 4th field = warm_group, 5th = warm_camera; the gate is
+        # warm == cold on EPE (incl. the jitter class) + retrieval
         configs = {
             "prod cold (reference)": ("pallas", PRODUCTION_TVL1, 2),
             "prod warm group5": ("pallas", PRODUCTION_TVL1, 2, 5),
             "prod warm group3": ("pallas", PRODUCTION_TVL1, 2, 3),
+            "prod warm g3 cam=key": ("pallas", PRODUCTION_TVL1, 2, 3, "key"),
+            "prod warm g5 cam=key": ("pallas", PRODUCTION_TVL1, 2, 5, "key"),
         }
     if args.sweep:
         configs.update({
@@ -375,8 +399,10 @@ def main():
         for name, cfg in configs.items():
             impl, tvl1, div = cfg[:3]
             wg = cfg[3] if len(cfg) > 3 else 0
+            wc = cfg[4] if len(cfg) > 4 else "own"
             t0 = time.time()
-            rgb, flow = extract(clips, impl, tvl1, div, tsn, warm_group=wg)
+            rgb, flow = extract(clips, impl, tvl1, div, tsn, warm_group=wg,
+                                warm_camera=wc)
             if seed == args.seeds[0]:
                 results[name] = (rgb, flow)
             acc = partner_accuracy(flow, labels)
@@ -385,7 +411,7 @@ def main():
                     f"retrieval: {acc:.2f}")
             if not args.no_epe:
                 e = epe_for_config(clips, truths, impl, tvl1, div,
-                                   warm_group=wg)
+                                   warm_group=wg, warm_camera=wc)
                 epes[name].append(e)
                 line += (f"  EPE mean {e['epe_mean']:.3f} p90 "
                          f"{e['epe_p90']:.3f} obj {e['epe_obj']:.3f} "

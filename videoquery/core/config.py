@@ -168,6 +168,11 @@ class ExtractionConfig:
     # cutting ~45% of TV-L1 cost (tools/flow_quality.py --warm;
     # tools/flow_bench.py --warm; docs/TUNING.md).
     flow_warm_group: int = 3
+    # Camera estimation for warm pairs: "own" (each pair estimates its own
+    # affine — default) or "key" (reuse the keyframe pair's affine; skips
+    # the per-pair translation+LK pass). "key" must pass the jitter-class
+    # EPE gate (tools/flow_quality.py --warm) before production use.
+    flow_warm_camera: str = "own"
     # Decode video files straight to frame_resize (one cv2 resize at decode
     # time — the same single resize the reference's predict_single_frame
     # applies to native frames, calcSig_wOF.py:94). Fixes the device

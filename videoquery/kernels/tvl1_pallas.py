@@ -519,9 +519,10 @@ def tvl1_flow_pallas(
     return u, v
 
 
-def _camera_compensate(I0: jax.Array, I1: jax.Array, p: TVL1Params,
-                       coarse_hw: tuple[int, int] | None) -> jax.Array:
-    """Estimate global camera motion and return I1 warped to cancel it.
+def estimate_camera(I0: jax.Array, I1: jax.Array, p: TVL1Params,
+                    coarse_hw: tuple[int, int] | None) -> jax.Array:
+    """Per-pair global camera motion as an affine displacement field
+    A [N, 2, 3] in native coords (apply with apply_camera).
 
     Global motion = integer translation from one MXU cross-correlation
     (robust to pans of ANY size up to the correlation window — iterative
@@ -560,8 +561,18 @@ def _camera_compensate(I0: jax.Array, I1: jax.Array, p: TVL1Params,
     A = A.at[:, 0, 2].add(t[:, 0].astype(jnp.float32))
     A = A.at[:, 1, 2].add(t[:, 1].astype(jnp.float32))
     A = A * jnp.asarray([sx, sy])[:, None]
-    A = affine_to_native_coords(A, sx, sy)
+    return affine_to_native_coords(A, sx, sy)
+
+
+def apply_camera(I1: jax.Array, A: jax.Array) -> jax.Array:
+    """Warp I1 by the affine camera field A (integer-roll translation +
+    window warp for the residual — gather-free)."""
     return _affine_warp_rollwindow(I1, A, d=4)
+
+
+def _camera_compensate(I0: jax.Array, I1: jax.Array, p: TVL1Params,
+                       coarse_hw: tuple[int, int] | None) -> jax.Array:
+    return apply_camera(I1, estimate_camera(I0, I1, p, coarse_hw))
 
 
 @functools.partial(jax.jit,
@@ -581,6 +592,25 @@ def tvl1_warped_flow_pallas(
     i1w = _camera_compensate(I0, I1, p, coarse_hw)
     return tvl1_flow_pallas(I0, i1w, p, max_disp=max_disp,
                             pairs_per_program=pairs_per_program)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "max_disp", "coarse_hw",
+                                    "pairs_per_program"))
+def tvl1_warped_flow_pallas_cam(
+    I0: jax.Array,
+    I1: jax.Array,
+    p: TVL1Params = TVL1Params(),
+    max_disp: int = 8,
+    coarse_hw: tuple[int, int] | None = None,
+    pairs_per_program: int = 1,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Warped flow that ALSO returns the per-pair camera affine A [N, 2, 3]
+    (so warm-started neighbor pairs can reuse it)."""
+    A = estimate_camera(I0, I1, p, coarse_hw)
+    u, v = tvl1_flow_pallas(I0, apply_camera(I1, A), p, max_disp=max_disp,
+                            pairs_per_program=pairs_per_program)
+    return u, v, A
 
 
 @functools.partial(jax.jit,
@@ -637,11 +667,18 @@ def tvl1_warped_flow_pallas_warm(
     coarse_hw: tuple[int, int] | None = None,
     levels: int = 1,
     pairs_per_program: int = 1,
+    A: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Warm-started warped variant: each pair still gets its OWN camera
-    compensation (camera motion changes per pair); only the residual-flow
-    solve is warm-started from the neighbor's residual."""
-    i1w = _camera_compensate(I0, I1, p, coarse_hw)
+    """Warm-started warped variant. By default each pair still gets its OWN
+    camera compensation (camera motion changes per pair); only the
+    residual-flow solve is warm-started from the neighbor's residual.
+    Passing A [N, 2, 3] (e.g. the keyframe pair's estimate) skips the
+    estimation and reuses it — gate with the jitter-class EPE before using
+    (tools/flow_quality.py)."""
+    if A is None:
+        i1w = _camera_compensate(I0, I1, p, coarse_hw)
+    else:
+        i1w = apply_camera(I1, A)
     return tvl1_flow_pallas_warm(I0, i1w, u0, v0, p, max_disp=max_disp,
                                  levels=levels,
                                  pairs_per_program=pairs_per_program)

@@ -113,7 +113,8 @@ def warm_tvl1_params(tvl1: TVL1Params) -> TVL1Params:
 
 
 def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
-                  tvl1: TVL1Params, warm_plan=None
+                  tvl1: TVL1Params, warm_plan=None,
+                  warm_camera: str = "own"
                   ) -> tuple[jax.Array, jax.Array]:
     """Raw (u, v) flow for the selected frame pairs, each f32 [B, P, h, w]
     in flow-grid pixels (always the Pallas path — this branch exists for
@@ -122,11 +123,14 @@ def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
     warm_plan (key_pos, warm_pos, warm_src) enables the temporal warm
     start (sampling.flow_warm_plan): keyframe pairs solve the full pyramid,
     the rest refine their nearest key's flow at the finest level only —
-    both phases stay fully batched."""
+    both phases stay fully batched. warm_camera="key" additionally reuses
+    the keyframe pair's camera affine for its warm neighbors (skips their
+    translation+LK estimation; gate on the jitter-class EPE)."""
     from videoquery.kernels.tvl1_pallas import (
         tvl1_flow_pallas,
         tvl1_flow_pallas_warm,
         tvl1_warped_flow_pallas,
+        tvl1_warped_flow_pallas_cam,
         tvl1_warped_flow_pallas_warm,
     )
 
@@ -143,20 +147,30 @@ def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
     key_pos, warm_pos, warm_src = warm_plan
     k = key_pos.shape[0]
     m = warm_pos.shape[0]
-    uk, vk = flow_fn(
-        jnp.take(i0, key_pos, axis=1).reshape(b * k, h, w),
-        jnp.take(i1, key_pos, axis=1).reshape(b * k, h, w),
-        tvl1, pairs_per_program=4)
+    use_key_cam = warped and warm_camera == "key"
+    i0k = jnp.take(i0, key_pos, axis=1).reshape(b * k, h, w)
+    i1k = jnp.take(i1, key_pos, axis=1).reshape(b * k, h, w)
+    a_warm = None
+    if use_key_cam:
+        uk, vk, ak = tvl1_warped_flow_pallas_cam(i0k, i1k, tvl1,
+                                                 pairs_per_program=4)
+        ak = ak.reshape(b, k, 2, 3)
+        a_warm = jnp.take(ak, warm_src, axis=1).reshape(b * m, 2, 3)
+    else:
+        uk, vk = flow_fn(i0k, i1k, tvl1, pairs_per_program=4)
     uk = uk.reshape(b, k, h, w)
     vk = vk.reshape(b, k, h, w)
-    warm_fn = (tvl1_warped_flow_pallas_warm if warped
-               else tvl1_flow_pallas_warm)
-    uw, vw = warm_fn(
-        jnp.take(i0, warm_pos, axis=1).reshape(b * m, h, w),
-        jnp.take(i1, warm_pos, axis=1).reshape(b * m, h, w),
-        jnp.take(uk, warm_src, axis=1).reshape(b * m, h, w),
-        jnp.take(vk, warm_src, axis=1).reshape(b * m, h, w),
-        warm_tvl1_params(tvl1), pairs_per_program=4)
+    u0 = jnp.take(uk, warm_src, axis=1).reshape(b * m, h, w)
+    v0 = jnp.take(vk, warm_src, axis=1).reshape(b * m, h, w)
+    i0w = jnp.take(i0, warm_pos, axis=1).reshape(b * m, h, w)
+    i1w = jnp.take(i1, warm_pos, axis=1).reshape(b * m, h, w)
+    if warped:
+        uw, vw = tvl1_warped_flow_pallas_warm(
+            i0w, i1w, u0, v0, warm_tvl1_params(tvl1), pairs_per_program=4,
+            A=a_warm)
+    else:
+        uw, vw = tvl1_flow_pallas_warm(
+            i0w, i1w, u0, v0, warm_tvl1_params(tvl1), pairs_per_program=4)
     u = jnp.zeros((b, p, h, w), uk.dtype)
     v = jnp.zeros((b, p, h, w), vk.dtype)
     u = u.at[:, key_pos].set(uk).at[:, warm_pos].set(uw.reshape(b, m, h, w))
@@ -167,11 +181,12 @@ def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
 def _pair_flow(gray: jax.Array, pair_idx: jax.Array, bound: float,
                warped: bool, tvl1: TVL1Params,
                value_scale: tuple[float, float],
-               warm_plan=None) -> jax.Array:
+               warm_plan=None, warm_camera: str = "own") -> jax.Array:
     """Quantized flow for the selected frame pairs: u8 [B, P, h, w, 2].
     value_scale = (sx, sy) converts flow values back to native pixels (the
     flow grid may be anisotropically scaled)."""
-    u, v = _pair_flow_uv(gray, pair_idx, warped, tvl1, warm_plan)
+    u, v = _pair_flow_uv(gray, pair_idx, warped, tvl1, warm_plan,
+                         warm_camera)
     uv = jnp.stack([u * value_scale[0], v * value_scale[1]], axis=-1)
     return quantize_flow(uv, bound)
 
@@ -207,7 +222,8 @@ def _ensemble_embed(params, x_flat: jax.Array, mesh=None) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("bound", "warped", "tvl1", "cfg_resize", "cfg_crop",
-                     "dtype_str", "flow_impl", "flow_res_div", "mesh"),
+                     "dtype_str", "flow_impl", "flow_res_div", "mesh",
+                     "flow_warm_camera"),
 )
 def _extract_step(
     rgb_params,
@@ -228,6 +244,8 @@ def _extract_step(
     mesh=None,  # jax Mesh when the ensemble shards over a model axis
     flow_warm_plan=None,  # (key_pos, warm_pos, warm_src) i32 arrays from
                           # sampling.flow_warm_plan (temporal warm start)
+    flow_warm_camera: str = "own",  # "key" reuses the keyframe's camera
+                                    # affine for warm pairs (gated)
 ):
     """The whole per-batch extraction as ONE device program:
     grayscale -> warped TV-L1 -> tick gather -> preprocess -> 6-way TSN.
@@ -260,7 +278,8 @@ def _extract_step(
         # compute flow only for the tick-consumed pairs (flow_pair_plan):
         # stack_idx then holds positions into flow_pair_idx
         flow_q = _pair_flow(gray, flow_pair_idx, bound, warped, tvl1,
-                            vscale, flow_warm_plan)  # u8 [B,P,fh,fw,2]
+                            vscale, flow_warm_plan,
+                            flow_warm_camera)        # u8 [B,P,fh,fw,2]
     else:
         flow_q = _clip_flow(gray, bound, warped, tvl1, flow_impl,
                             vscale)               # u8 [B,F,fh,fw,2]
@@ -537,6 +556,7 @@ class Extractor:
                            if use_pairs else None),
             mesh=self.mesh,
             flow_warm_plan=warm,
+            flow_warm_camera=cfg.flow_warm_camera,
         )
         # keep embeddings on device: callers batch the readback
         # (gather_signatures) — each np.asarray here costs ~35 ms of tunnel
