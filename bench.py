@@ -63,10 +63,11 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
     pair_j = jnp.asarray(pair_idx, jnp.int32)
 
     impl = default_flow_impl()
-    if flow_warm_group is None:
-        from videoquery.core.config import ExtractionConfig
+    from videoquery.core.config import ExtractionConfig
 
+    if flow_warm_group is None:
         flow_warm_group = ExtractionConfig().flow_warm_group
+    warm_camera = ExtractionConfig().flow_warm_camera
     warm = None
     if impl == "pallas" and flow_warm_group > 1:
         from videoquery.pipeline.sampling import flow_warm_plan
@@ -76,28 +77,35 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
             warm = (jnp.asarray(kp), jnp.asarray(wp), jnp.asarray(ws))
     log(f"[extract] flow impl: {impl}, tvl1 s{flow_scales} w{flow_warps} "
         f"i{flow_iters}, flow res 1/{flow_res_div}, warm group "
-        f"{flow_warm_group}")
+        f"{flow_warm_group} cam={warm_camera}")
 
     def step():
-        r, f = _extract_step(
+        return _extract_step(
             tsn.rgb.stacked_params, tsn.flow.stacked_params, frames,
             ticks_j, sidx_j, 20.0, True, tvl1, (340, 256), 224, dtype, impl,
             flow_res_div,
             flow_pair_idx=pair_j if impl == "pallas" else None,
             flow_warm_plan=warm,
+            flow_warm_camera=warm_camera,
         )
+
+    def sync(outs):
         # block_until_ready does NOT block on the tunneled axon backend;
         # force a scalar readback to synchronize
-        return float(r.sum())
+        return float(sum(r.sum() for r, _ in outs))
 
     log("[extract] compiling fused extraction step...")
     t0 = time.time()
-    step()
+    sync([step()])
     log(f"[extract] compile+first run: {time.time()-t0:.1f}s")
 
+    # Production timing model: extract_video_stream queues batches with
+    # DEFERRED readback (ClipSignatures keeps device arrays; one download at
+    # the end), so the honest per-batch device time queues all batches
+    # asynchronously and synchronizes once — a per-batch scalar readback
+    # would bill the tunnel's ~35-40 ms RTT to every batch.
     t0 = time.time()
-    for _ in range(n_batches):
-        step()
+    sync([step() for _ in range(n_batches)])
     dt = time.time() - t0
     clips = n_batches * batch_clips
     rate = clips / dt

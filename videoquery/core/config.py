@@ -168,11 +168,15 @@ class ExtractionConfig:
     # cutting ~45% of TV-L1 cost (tools/flow_quality.py --warm;
     # tools/flow_bench.py --warm; docs/TUNING.md).
     flow_warm_group: int = 3
-    # Camera estimation for warm pairs: "own" (each pair estimates its own
-    # affine — default) or "key" (reuse the keyframe pair's affine; skips
-    # the per-pair translation+LK pass). "key" must pass the jitter-class
-    # EPE gate (tools/flow_quality.py --warm) before production use.
-    flow_warm_camera: str = "own"
+    # Camera estimation for warm pairs: "key" (production — reuse the
+    # keyframe pair's affine, skipping the per-pair translation+LK pass) or
+    # "own" (each warm pair estimates its own affine). "key" passed the
+    # jitter-augmented EPE gate at both corpus scales (tools/flow_quality.py
+    # --warm: scale 1 EPE 0.231 vs cold 0.232 with retrieval 0.667 vs
+    # 0.650; scale 2 EPE 0.391 vs 0.392, retrieval equal — camera motion is
+    # coherent across the ~0.12 s a group of 3 pairs spans, and the
+    # keyframe's affine is itself estimated from the same coarse grid).
+    flow_warm_camera: str = "key"
     # Decode video files straight to frame_resize (one cv2 resize at decode
     # time — the same single resize the reference's predict_single_frame
     # applies to native frames, calcSig_wOF.py:94). Fixes the device

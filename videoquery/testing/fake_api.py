@@ -191,6 +191,8 @@ class FakeAPI:
             ("query-results", "read"): lambda p: dict(self.query_results[p["id"]]),
             ("matches", "create"): self._a_match_create,
             ("matches", "list"): self._a_matches_list,
+            # the human review UI records decisions with PATCH matches/<id>/
+            ("matches", "partial_update"): self._a_match_patch,
         }.get(key)
         if handler is None:
             raise KeyError(f"fake API has no action {key}")
@@ -312,6 +314,11 @@ class FakeAPI:
         }
         self.matches[row["id"]] = row
         return dict(row)
+
+    def _a_match_patch(self, params):
+        m = self.matches[params.pop("id")]
+        m.update(params)
+        return dict(m)
 
     def _a_matches_list(self, params):
         rows = [
