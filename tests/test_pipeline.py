@@ -345,3 +345,32 @@ def test_extract_video_stream_matches_batch(tmp_path, tsn, small_cfg):
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(a.flow), np.asarray(b.flow),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_flow_gray_grid_matmul_matches_exact(rng):
+    """The matmul-folded gray+flow-grid resize (production,
+    ExtractionConfig.flow_gray_matmul) must equal the exact f32
+    gray -> jax.image.resize path: the per-axis weight matrices are
+    extracted from jax.image.resize itself, so on CPU (f32 operands) the
+    two differ only by float association; on TPU the bf16 operands add a
+    < 4e-3 perturbation that is EPE-gated (tools/flow_quality.py --gray)."""
+    import jax.numpy as jnp
+
+    from videoquery.pipeline.extract import _flow_gray_grid
+
+    frames = jnp.asarray(rng.integers(0, 255, (2, 5, 256, 340, 3), np.uint8))
+    exact, vs_e = _flow_gray_grid(frames, 2, matmul=False)
+    fused, vs_m = _flow_gray_grid(frames, 2, matmul=True)
+    assert vs_e == vs_m
+    assert exact.shape == fused.shape == (2, 5, 128, 128)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(exact),
+                               atol=1e-5)
+    # sub-lane widths keep their native aspect (fw < 128 branch)
+    small = jnp.asarray(rng.integers(0, 255, (1, 3, 128, 176, 3), np.uint8))
+    a, va = _flow_gray_grid(small, 2, matmul=False)
+    b, vb = _flow_gray_grid(small, 2, matmul=True)
+    assert a.shape == b.shape == (1, 3, 64, 88) and va == vb == (2.0, 2.0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+    # res_div=1: no resize to fold, exact luma either way
+    g1, v1 = _flow_gray_grid(small, 1, matmul=True)
+    assert g1.shape == (1, 3, 128, 176) and v1 == (1.0, 1.0)

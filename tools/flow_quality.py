@@ -161,7 +161,7 @@ def truth_residual_flow(meta, t, h, w):
 
 
 def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
-                   warm_group=0, warm_camera="own"):
+                   warm_group=0, warm_camera="own", gray_matmul=False):
     """Mean/percentile endpoint error of a flow config against the corpus's
     known residual-motion fields, reproducing the production flow geometry
     (grayscale, lane-aligned reduced grid, value rescale — extract.py's
@@ -171,19 +171,16 @@ def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
     import jax
     import jax.numpy as jnp
 
+    from videoquery.pipeline.extract import _flow_gray_grid
+
     c, f, h, w = clips.shape[:4]
-    gray = (0.114 * clips[..., 0].astype(np.float32)
-            + 0.587 * clips[..., 1].astype(np.float32)
-            + 0.299 * clips[..., 2].astype(np.float32)) / 255.0
-    if flow_res_div > 1:
-        fh = max(8, (h // flow_res_div) // 8 * 8)
-        fw0 = w // flow_res_div
-        fw = (fw0 // 128 * 128) if fw0 >= 128 else fw0
-        g = jax.image.resize(jnp.asarray(gray), (c, f, fh, fw), "linear")
-    else:
-        fh, fw = h, w
-        g = jnp.asarray(gray)
-    vscale = (w / fw, h / fh)
+    # the production gray+grid path (extract.py), incl. the bf16
+    # matmul-folded variant when gray_matmul is set
+    g, vscale = jax.jit(_flow_gray_grid, static_argnames=(
+        "flow_res_div", "matmul"))(jnp.asarray(clips),
+                                   flow_res_div=flow_res_div,
+                                   matmul=gray_matmul)
+    fh, fw = g.shape[2:4]
     if impl == "pallas":
         from videoquery.pipeline.extract import _pair_flow_uv
         from videoquery.pipeline.sampling import flow_warm_plan
@@ -253,7 +250,7 @@ def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
 
 
 def extract(clips, flow_impl, tvl1, flow_res_div, tsn, warm_group=0,
-            warm_camera="own"):
+            warm_camera="own", gray_matmul=False):
     import jax.numpy as jnp
 
     from videoquery.pipeline.extract import _extract_step
@@ -278,7 +275,7 @@ def extract(clips, flow_impl, tvl1, flow_res_div, tsn, warm_group=0,
         tsn.rgb.stacked_params, tsn.flow.stacked_params,
         jnp.asarray(clips), ticks, sidx, 20.0, True, tvl1,
         (340, 256), 224, "float32", flow_impl, flow_res_div,
-        flow_warm_camera=warm_camera, **kw,
+        flow_warm_camera=warm_camera, flow_gray_matmul=gray_matmul, **kw,
     )
     return np.asarray(rgb, np.float64), np.asarray(flow, np.float64)
 
@@ -333,6 +330,9 @@ def main():
     ap.add_argument("--warm", action="store_true",
                     help="gate the temporal warm-start path vs cold at the "
                          "production schedule")
+    ap.add_argument("--gray", action="store_true",
+                    help="gate the bf16 matmul-folded gray+resize against "
+                         "the exact f32 path at the production config")
     args = ap.parse_args()
 
     from videoquery.pipeline.extract import PRODUCTION_TVL1
@@ -374,6 +374,15 @@ def main():
             "prod warm g3 cam=key": ("pallas", PRODUCTION_TVL1, 2, 3, "key"),
             "prod warm g5 cam=key": ("pallas", PRODUCTION_TVL1, 2, 5, "key"),
         }
+    if args.gray:
+        # 6th field = gray_matmul; gate is graymm == exact on EPE +
+        # retrieval at the full production flow config (warm g3 cam=key)
+        configs = {
+            "prod exact gray (f32)": (
+                "pallas", PRODUCTION_TVL1, 2, 3, "key", False),
+            "prod graymm (bf16 matmul)": (
+                "pallas", PRODUCTION_TVL1, 2, 3, "key", True),
+        }
     if args.sweep:
         configs.update({
             "half-res s5w5i30 (conservative)": (
@@ -400,9 +409,10 @@ def main():
             impl, tvl1, div = cfg[:3]
             wg = cfg[3] if len(cfg) > 3 else 0
             wc = cfg[4] if len(cfg) > 4 else "own"
+            gm = cfg[5] if len(cfg) > 5 else False
             t0 = time.time()
             rgb, flow = extract(clips, impl, tvl1, div, tsn, warm_group=wg,
-                                warm_camera=wc)
+                                warm_camera=wc, gray_matmul=gm)
             if seed == args.seeds[0]:
                 results[name] = (rgb, flow)
             acc = partner_accuracy(flow, labels)
@@ -411,7 +421,8 @@ def main():
                     f"retrieval: {acc:.2f}")
             if not args.no_epe:
                 e = epe_for_config(clips, truths, impl, tvl1, div,
-                                   warm_group=wg, warm_camera=wc)
+                                   warm_group=wg, warm_camera=wc,
+                                   gray_matmul=gm)
                 epes[name].append(e)
                 line += (f"  EPE mean {e['epe_mean']:.3f} p90 "
                          f"{e['epe_p90']:.3f} obj {e['epe_obj']:.3f} "

@@ -177,6 +177,12 @@ class ExtractionConfig:
     # coherent across the ~0.12 s a group of 3 pairs spans, and the
     # keyframe's affine is itself estimated from the same coarse grid).
     flow_warm_camera: str = "key"
+    # Fold the grayscale channel dot into the flow-grid bilinear resize as
+    # bf16 MXU matmuls (exact resize matrices extracted from
+    # jax.image.resize; 10.5 -> 4.5 ms per 8-clip batch). Gray perturbation
+    # < 4e-3 on the [0,1] scale; EPE-gated equal to the exact path
+    # (tools/flow_quality.py --gray; docs/TUNING.md).
+    flow_gray_matmul: bool = True
     # Decode video files straight to frame_resize (one cv2 resize at decode
     # time — the same single resize the reference's predict_single_frame
     # applies to native frames, calcSig_wOF.py:94). Fixes the device

@@ -219,11 +219,61 @@ def _ensemble_embed(params, x_flat: jax.Array, mesh=None) -> jax.Array:
     )(params, x_flat)
 
 
+def _flow_gray_grid(frames_u8: jax.Array, flow_res_div: int,
+                    matmul: bool = True):
+    """ITU-R 601 luma (BGR order, cv2 parity) + lane-aligned flow-grid
+    resize. Returns (gray f32 [B,F,fh,fw], (vscale_x, vscale_y)).
+
+    matmul=True folds the channel dot INTO the horizontal bilinear resize —
+    the exact jax.image.resize operator is linear and separable, so its
+    per-axis weight matrices are extracted by resizing an identity (constant-
+    folded at compile time) and the [W,3] tail axes merge into one
+    [W*3, fw] MXU matmul. bf16 operands, f32 accumulation: 10.5 -> 4.5 ms
+    at production geometry (8x150 frames), gray perturbation < 4e-3 on the
+    [0,1] scale — EPE-gated equal to the exact path (docs/TUNING.md)."""
+    h0, w0 = frames_u8.shape[2:4]
+    if flow_res_div <= 1:
+        f32 = frames_u8.astype(jnp.float32)
+        gray = (0.114 * f32[..., 0] + 0.587 * f32[..., 1]
+                + 0.299 * f32[..., 2]) / 255.0
+        return gray, (1.0, 1.0)
+    b, f = frames_u8.shape[:2]
+    fh = max(8, (h0 // flow_res_div) // 8 * 8)
+    # lane-align the flow width when it exceeds a lane tile: a 170-wide
+    # grid pads to 256 lanes inside every Pallas roll (1.5x wasted VPU
+    # work); 128 is pad-free. Widths under 128 pad to one tile either
+    # way, so keep their native aspect. The anisotropic value scale
+    # converts flow back to native pixels.
+    fw0 = w0 // flow_res_div
+    fw = (fw0 // 128 * 128) if fw0 >= 128 else fw0
+    if not matmul:
+        f32 = frames_u8.astype(jnp.float32)
+        gray = (0.114 * f32[..., 0] + 0.587 * f32[..., 1]
+                + 0.299 * f32[..., 2]) / 255.0
+        gray = jax.image.resize(gray, (b, f, fh, fw), method="linear")
+        return gray, (w0 / fw, h0 / fh)
+    rv = jax.image.resize(jnp.eye(h0, dtype=jnp.float32), (fh, h0),
+                          method="linear").T             # [h0, fh]
+    rh = jax.image.resize(jnp.eye(w0, dtype=jnp.float32), (fw, w0),
+                          method="linear").T             # [w0, fw]
+    wvec = jnp.asarray([0.114, 0.587, 0.299], jnp.float32) / 255.0
+    whc = (rh[:, None, :] * wvec[None, :, None]).reshape(w0 * 3, fw)
+    # bf16 operands on TPU (MXU-native); the CPU executor has no
+    # bf16 x bf16 -> f32 dot, so tests / the virtual mesh stay f32
+    mm = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    x = frames_u8.reshape(b, f, h0, w0 * 3).astype(mm)
+    t = jnp.einsum("bfhx,xj->bfhj", x, whc.astype(mm),
+                   preferred_element_type=jnp.float32)   # [B,F,h0,fw]
+    gray = jnp.einsum("bfhj,hi->bfij", t.astype(mm), rv.astype(mm),
+                      preferred_element_type=jnp.float32)
+    return gray, (w0 / fw, h0 / fh)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bound", "warped", "tvl1", "cfg_resize", "cfg_crop",
                      "dtype_str", "flow_impl", "flow_res_div", "mesh",
-                     "flow_warm_camera"),
+                     "flow_warm_camera", "flow_gray_matmul"),
 )
 def _extract_step(
     rgb_params,
@@ -246,6 +296,8 @@ def _extract_step(
                           # sampling.flow_warm_plan (temporal warm start)
     flow_warm_camera: str = "own",  # "key" reuses the keyframe's camera
                                     # affine for warm pairs (gated)
+    flow_gray_matmul: bool = True,  # fold gray into the flow-grid resize
+                                    # as bf16 matmuls (EPE-gated)
 ):
     """The whole per-batch extraction as ONE device program:
     grayscale -> warped TV-L1 -> tick gather -> preprocess -> 6-way TSN.
@@ -256,24 +308,8 @@ def _extract_step(
     host — ~10 MB per clip batch — dominated wall clock by 100x.)"""
     from videoquery.nn import bn_inception
 
-    f32 = frames_u8.astype(jnp.float32)
-    # ITU-R 601 luma, matching cv2 BGR2GRAY
-    gray = (0.114 * f32[..., 0] + 0.587 * f32[..., 1] + 0.299 * f32[..., 2]) / 255.0
-    h0, w0 = gray.shape[2:4]
-    if flow_res_div > 1:
-        bb, ff = gray.shape[:2]
-        fh = max(8, (h0 // flow_res_div) // 8 * 8)
-        # lane-align the flow width when it exceeds a lane tile: a 170-wide
-        # grid pads to 256 lanes inside every Pallas roll (1.5x wasted VPU
-        # work); 128 is pad-free. Widths under 128 pad to one tile either
-        # way, so keep their native aspect. The anisotropic value scale
-        # converts flow back to native pixels.
-        fw0 = w0 // flow_res_div
-        fw = (fw0 // 128 * 128) if fw0 >= 128 else fw0
-        gray = jax.image.resize(gray, (bb, ff, fh, fw), method="linear")
-    else:
-        fh, fw = h0, w0
-    vscale = (w0 / fw, h0 / fh)
+    gray, vscale = _flow_gray_grid(frames_u8, flow_res_div,
+                                   matmul=flow_gray_matmul)
     if flow_pair_idx is not None:
         # compute flow only for the tick-consumed pairs (flow_pair_plan):
         # stack_idx then holds positions into flow_pair_idx
@@ -557,6 +593,7 @@ class Extractor:
             mesh=self.mesh,
             flow_warm_plan=warm,
             flow_warm_camera=cfg.flow_warm_camera,
+            flow_gray_matmul=cfg.flow_gray_matmul,
         )
         # keep embeddings on device: callers batch the readback
         # (gather_signatures) — each np.asarray here costs ~35 ms of tunnel

@@ -68,15 +68,42 @@ def _resize(x: jax.Array, w: int, h: int) -> jax.Array:
     return jnp.einsum("oW,...HWc->...Hoc", aw, x, precision=hi)
 
 
+def _crop_origin(h: int, w: int, size: int, where: str) -> tuple[int, int]:
+    if where == "center":
+        return (h - size) // 2, (w - size) // 2
+    if where == "tl":
+        return 0, 0
+    raise ValueError(f"unknown crop {where!r}")
+
+
 def _crop(x: jax.Array, size: int, where: str) -> jax.Array:
     h, w = x.shape[-3], x.shape[-2]
-    if where == "center":
-        top, left = (h - size) // 2, (w - size) // 2
-    elif where == "tl":
-        top, left = 0, 0
-    else:
-        raise ValueError(f"unknown crop {where!r}")
+    top, left = _crop_origin(h, w, size, where)
     return x[..., top:top + size, left:left + size, :]
+
+
+def _resize_crop(x: jax.Array, w: int, h: int, size: int,
+                 where: str) -> jax.Array:
+    """resize-to-(w,h) followed by a size x size crop, computed as ONE pair
+    of matmuls over the SLICED interpolation matrices: cropping the output
+    of a separable resize == resizing with the crop window's matrix rows,
+    so only the kept pixels are ever computed (identical values; ~40% fewer
+    FLOPs and no [.., h, w, c] intermediate at production geometry)."""
+    top, left = _crop_origin(h, w, size, where)
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    x = x.astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    if h_in != h:
+        ah = jnp.asarray(_cv2_linear_matrix(h_in, h)[top:top + size])
+        x = jnp.einsum("oH,...HWc->...oWc", ah, x, precision=hi)
+    else:
+        x = x[..., top:top + size, :, :]
+    if w_in != w:
+        aw = jnp.asarray(_cv2_linear_matrix(w_in, w)[left:left + size])
+        x = jnp.einsum("oW,...HWc->...Hoc", aw, x, precision=hi)
+    else:
+        x = x[..., left:left + size, :]
+    return x
 
 
 def preprocess_rgb(
@@ -87,9 +114,7 @@ def preprocess_rgb(
     dtype=jnp.float32,
 ) -> jax.Array:
     """BGR frames -> mean-subtracted crops ready for the rgb net."""
-    x = frames.astype(jnp.float32)
-    x = _resize(x, resize_wh[0], resize_wh[1])
-    x = _crop(x, crop_size, crop)
+    x = _resize_crop(frames, resize_wh[0], resize_wh[1], crop_size, crop)
     x = x - jnp.asarray(BGR_MEAN, jnp.float32)
     return x.astype(dtype)
 
@@ -102,9 +127,7 @@ def preprocess_flow(
     dtype=jnp.float32,
 ) -> jax.Array:
     """Quantized flow stacks (0..255, 128 = zero motion) -> net input."""
-    x = stacks.astype(jnp.float32)
-    x = _resize(x, resize_wh[0], resize_wh[1])
-    x = _crop(x, crop_size, crop)
+    x = _resize_crop(stacks, resize_wh[0], resize_wh[1], crop_size, crop)
     x = x - FLOW_MEAN
     return x.astype(dtype)
 
