@@ -52,20 +52,11 @@ def build(batch=8, frames=150, hw=(256, 340), ticks=25, depth=5,
     return frames_u8, tick_idx, sidx, pidx, warm, tsn
 
 
-def grayscale(frames_u8, res_div):
-    f32 = frames_u8.astype(jnp.float32)
-    gray = (0.114 * f32[..., 0] + 0.587 * f32[..., 1]
-            + 0.299 * f32[..., 2]) / 255.0
-    h0, w0 = gray.shape[2:4]
-    if res_div > 1:
-        bb, ff = gray.shape[:2]
-        fh = max(8, (h0 // res_div) // 8 * 8)
-        fw0 = w0 // res_div
-        fw = (fw0 // 128 * 128) if fw0 >= 128 else fw0
-        gray = jax.image.resize(gray, (bb, ff, fh, fw), method="linear")
-    else:
-        fh, fw = h0, w0
-    return gray, (w0 / fw, h0 / fh)
+def grayscale(frames_u8, res_div, matmul=True):
+    # the production path (bf16 matmul-folded by default; --gray_exact
+    # times the old f32 gray -> jax.image.resize variant)
+    from videoquery.pipeline.extract import _flow_gray_grid
+    return _flow_gray_grid(frames_u8, res_div, matmul=matmul)
 
 
 def main():
@@ -76,7 +67,11 @@ def main():
     ap.add_argument("--warm_group", type=int, default=3)
     ap.add_argument("--warm_camera", default="own", choices=["own", "key"])
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--gray_exact", action="store_true",
+                    help="time the f32 gray -> jax.image.resize path "
+                         "instead of the production bf16 matmul fold")
     args = ap.parse_args()
+    gray_mm = not args.gray_exact
 
     impl = default_flow_impl()
     assert impl == "pallas", f"stage profile targets the TPU path, got {impl}"
@@ -88,18 +83,18 @@ def main():
 
     @jax.jit
     def s_gray(fr):
-        gray, _ = grayscale(fr, args.res_div)
+        gray, _ = grayscale(fr, args.res_div, gray_mm)
         return gray.sum()
 
     @jax.jit
     def s_flow(fr):
-        gray, vscale = grayscale(fr, args.res_div)
+        gray, vscale = grayscale(fr, args.res_div, gray_mm)
         fq = _pair_flow(gray, pidx, 20.0, True, tvl1, vscale, warm, cam)
         return fq.sum(dtype=jnp.int32)
 
     @jax.jit
     def s_inputs(fr):
-        gray, vscale = grayscale(fr, args.res_div)
+        gray, vscale = grayscale(fr, args.res_div, gray_mm)
         fq = _pair_flow(gray, pidx, 20.0, True, tvl1, vscale, warm, cam)
         rgb_ticks = jnp.take(fr, tick_idx, axis=1)
         stacks = jnp.take(fq, sidx.reshape(-1), axis=1)
@@ -129,7 +124,7 @@ def main():
             tsn.rgb.stacked_params, tsn.flow.stacked_params, fr, tick_idx,
             sidx, 20.0, True, tvl1, (340, 256), 224, args.dtype, impl,
             args.res_div, flow_pair_idx=pidx, flow_warm_plan=warm,
-            flow_warm_camera=cam)
+            flow_warm_camera=cam, flow_gray_matmul=gray_mm)
 
     reps = args.reps
     rows = []

@@ -333,6 +333,9 @@ def main():
     ap.add_argument("--gray", action="store_true",
                     help="gate the bf16 matmul-folded gray+resize against "
                          "the exact f32 path at the production config")
+    ap.add_argument("--warm_iters", action="store_true",
+                    help="sweep the warm-pair refinement iteration count "
+                         "(TVL1Params.warm_iters) at the production config")
     args = ap.parse_args()
 
     from videoquery.pipeline.extract import PRODUCTION_TVL1
@@ -382,6 +385,18 @@ def main():
                 "pallas", PRODUCTION_TVL1, 2, 3, "key", False),
             "prod graymm (bf16 matmul)": (
                 "pallas", PRODUCTION_TVL1, 2, 3, "key", True),
+        }
+    if args.warm_iters:
+        import dataclasses as _dc
+        configs = {
+            "prod warm_iters=fine (10)": (
+                "pallas", PRODUCTION_TVL1, 2, 3, "key", True),
+            "warm_iters=6": (
+                "pallas", _dc.replace(PRODUCTION_TVL1, warm_iters=6),
+                2, 3, "key", True),
+            "warm_iters=4": (
+                "pallas", _dc.replace(PRODUCTION_TVL1, warm_iters=4),
+                2, 3, "key", True),
         }
     if args.sweep:
         configs.update({

@@ -51,6 +51,12 @@ class TVL1Params:
     # Fine levels start from an already-converged upsampled coarse flow, so
     # they need fewer iterations; the inner loop is the VPU-bound hot path.
     fine_iters: int | None = None
+    # Primal-dual iterations for a WARM-started pair's single refinement
+    # warp (None = fine_iters): the init flow already carries a converged
+    # neighbor solution, so the residual solve can use fewer iterations
+    # than a cold fine level. Sweep with tools/flow_quality.py --warm_iters
+    # (EPE + retrieval gated) before changing in production.
+    warm_iters: int | None = None
     # Pallas path only: factorize the bilinear window warp into a vertical
     # then a horizontal pass (2*nwin roll terms instead of nwin^2). Exact
     # where the flow is locally constant over the window; the TV prior keeps

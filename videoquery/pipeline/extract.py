@@ -109,7 +109,7 @@ def warm_tvl1_params(tvl1: TVL1Params) -> TVL1Params:
     tools/flow_quality.py)."""
     return dataclasses.replace(
         tvl1, n_warps=1, fine_warps=1,
-        n_iters=tvl1.fine_iters or tvl1.n_iters)
+        n_iters=tvl1.warm_iters or tvl1.fine_iters or tvl1.n_iters)
 
 
 def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
