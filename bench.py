@@ -30,24 +30,27 @@ def log(*a):
 def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
                      frames_per_clip: int = 150, hw=(256, 340),
                      num_ticks: int = 25, splits=(1, 2, 3),
-                     flow_scales: int = 4, flow_warps: int = 3,
-                     flow_iters: int = 20, flow_fine_iters: int = 10,
                      flow_res_div: int = 2, flow_warm_group: int | None = None,
+                     warm_iters: int | None = None,
                      dtype: str = "bfloat16") -> float:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
-    from videoquery.kernels.tvl1 import TVL1Params
     from videoquery.nn.tsn import TwoStreamTSN
-    from videoquery.pipeline.extract import _extract_step, default_flow_impl
+    from videoquery.pipeline.extract import (PRODUCTION_TVL1, _extract_step,
+                                             default_flow_impl)
     from videoquery.pipeline.sampling import frame_ticks
 
     h, w = hw
     log(f"[extract] building TSN ensemble (splits={splits}, dtype={dtype})")
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=splits, dtype=jnp.dtype(dtype))
-    tvl1 = TVL1Params(n_scales=flow_scales, n_warps=flow_warps,
-                      n_iters=flow_iters, fine_warps=2,
-                      fine_iters=flow_fine_iters, grad_source="warped")
+    # Bench exactly what ships: the production schedule (incl. warm_iters /
+    # grad_source / coarse_hw), with an explicit override only for sweeps.
+    tvl1 = PRODUCTION_TVL1
+    if warm_iters is not None:
+        tvl1 = dataclasses.replace(tvl1, warm_iters=warm_iters)
 
     rng = np.random.default_rng(0)
     frames_np = rng.integers(0, 255,
@@ -75,8 +78,9 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
         kp, wp, ws = flow_warm_plan(pair_idx, flow_warm_group)
         if wp.size:
             warm = (jnp.asarray(kp), jnp.asarray(wp), jnp.asarray(ws))
-    log(f"[extract] flow impl: {impl}, tvl1 s{flow_scales} w{flow_warps} "
-        f"i{flow_iters}, flow res 1/{flow_res_div}, warm group "
+    log(f"[extract] flow impl: {impl}, tvl1 s{tvl1.n_scales} w{tvl1.n_warps} "
+        f"i{tvl1.n_iters} fi{tvl1.fine_iters} wi{tvl1.warm_iters}, "
+        f"flow res 1/{flow_res_div}, warm group "
         f"{flow_warm_group} cam={warm_camera}")
 
     def step():
@@ -332,6 +336,9 @@ def main():
     ap.add_argument("--segments", type=int, default=1_000_000)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--batch_clips", type=int, default=8)
+    ap.add_argument("--warm_iters", type=int, default=None,
+                    help="override TVL1Params.warm_iters for sweep runs "
+                         "(default: production value)")
     args = ap.parse_args()
 
     # One JSON line for the driver; `metrics` carries every named number
@@ -361,7 +368,8 @@ def main():
     p50 = None
     if args.mode in ("extract", "both", "all"):
         rate = bench_extraction(n_batches=args.batches,
-                                batch_clips=args.batch_clips)
+                                batch_clips=args.batch_clips,
+                                warm_iters=args.warm_iters)
         metrics["extraction_device_clips_per_s_chip"] = round(rate, 3)
     if args.mode in ("e2e", "all"):
         e2e_rate, decode_rate = bench_e2e(batch_clips=args.batch_clips)

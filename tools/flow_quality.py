@@ -389,11 +389,11 @@ def main():
     if args.warm_iters:
         import dataclasses as _dc
         configs = {
-            "prod warm_iters=fine (10)": (
-                "pallas", PRODUCTION_TVL1, 2, 3, "key", True),
-            "warm_iters=6": (
-                "pallas", _dc.replace(PRODUCTION_TVL1, warm_iters=6),
+            "warm_iters=fine (10)": (
+                "pallas", _dc.replace(PRODUCTION_TVL1, warm_iters=None),
                 2, 3, "key", True),
+            "prod warm_iters=6": (
+                "pallas", PRODUCTION_TVL1, 2, 3, "key", True),
             "warm_iters=4": (
                 "pallas", _dc.replace(PRODUCTION_TVL1, warm_iters=4),
                 2, 3, "key", True),

@@ -46,14 +46,17 @@ from videoquery.pipeline.sampling import (clip_ranges, flow_pair_plan,
 log = logging.getLogger(__name__)
 
 # Production flow schedule: 4 pyramid levels, 3 warps (2 at the finest two
-# levels), 20 iters (10 fine), gradients from the warped image — the
-# best-scoring config on 3-seed motion-partner retrieval at BOTH corpus
-# scales (>= the faithful full-res 5s/5w/30i baseline, fast-motion scenes
-# included) and also the fastest (tools/flow_quality.py --sweep/--res_sweep;
-# docs/TUNING.md). tools/flow_quality.py imports this so its quality gate
-# always measures what actually ships.
+# levels), 20 iters (10 fine; 6 for a warm-started pair's refinement warp),
+# gradients from the warped image — the best-scoring config on 3-seed
+# motion-partner retrieval at BOTH corpus scales (>= the faithful full-res
+# 5s/5w/30i baseline, fast-motion scenes included) and also the fastest
+# (tools/flow_quality.py --sweep/--res_sweep/--warm_iters; warm_iters=6 is
+# EPE-identical and retrieval-equal at scale 1, retrieval-better at scale 2
+# vs warm_iters=10; docs/TUNING.md). tools/flow_quality.py imports this so
+# its quality gate always measures what actually ships.
 PRODUCTION_TVL1 = TVL1Params(n_scales=4, n_warps=3, fine_warps=2,
-                             n_iters=20, fine_iters=10, grad_source="warped")
+                             n_iters=20, fine_iters=10, warm_iters=6,
+                             grad_source="warped")
 
 
 def default_flow_impl() -> str:
