@@ -119,7 +119,7 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
 
 
 def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
-              splits=(1, 2, 3)) -> tuple[float, float]:
+              splits=(1, 2, 3), host_gray: bool = False) -> tuple[float, float]:
     """The honest production number: video FILE -> feature CSVs, wall clock
     including host decode (the headline extract mode feeds in-memory
     frames). Decode overlaps device compute via Extractor.extract_video_
@@ -153,7 +153,8 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
     log(f"[e2e] building TSN ensemble (splits={splits})")
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=splits,
                               dtype=jax.numpy.bfloat16)
-    ex = Extractor(tsn, ExtractionConfig(batch_clips=batch_clips),
+    ex = Extractor(tsn, ExtractionConfig(batch_clips=batch_clips,
+                                         host_gray=host_gray),
                    dtype="bfloat16")
     # warm the compile caches off the clock (same geometry as the real run)
     warm = ex.extract_video_stream(video)
@@ -339,6 +340,9 @@ def main():
     ap.add_argument("--warm_iters", type=int, default=None,
                     help="override TVL1Params.warm_iters for sweep runs "
                          "(default: production value)")
+    ap.add_argument("--host_gray", action="store_true",
+                    help="e2e mode: compact upload (host cv2 gray + tick "
+                         "frames only; ExtractionConfig.host_gray)")
     args = ap.parse_args()
 
     # One JSON line for the driver; `metrics` carries every named number
@@ -372,7 +376,8 @@ def main():
                                 warm_iters=args.warm_iters)
         metrics["extraction_device_clips_per_s_chip"] = round(rate, 3)
     if args.mode in ("e2e", "all"):
-        e2e_rate, decode_rate = bench_e2e(batch_clips=args.batch_clips)
+        e2e_rate, decode_rate = bench_e2e(batch_clips=args.batch_clips,
+                                          host_gray=args.host_gray)
         metrics["e2e_file_to_csvs_clips_per_s"] = round(e2e_rate, 3)
         metrics["decode_only_clips_per_s_ceiling"] = round(decode_rate, 3)
         if args.mode == "e2e":

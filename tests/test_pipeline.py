@@ -374,3 +374,55 @@ def test_flow_gray_grid_matmul_matches_exact(rng):
     # res_div=1: no resize to fold, exact luma either way
     g1, v1 = _flow_gray_grid(small, 1, matmul=True)
     assert g1.shape == (1, 3, 128, 176) and v1 == (1.0, 1.0)
+
+
+def test_host_gray_compact_upload_matches_device_gray(tsn, small_cfg,
+                                                      synthetic_frames):
+    """ExtractionConfig.host_gray ships only tick frames + host-computed
+    uint8 gray (compact upload). The rgb stream must be EXACT (the tick
+    gather moves to the host, everything after is the same program); the
+    flow stream differs only by the gray source (cv2 uint8 area-resize vs
+    on-device f32 antialiased linear — box vs triangle kernel) — embeddings
+    must stay directionally identical. The 0.97 floor is a plumbing check
+    on RANDOM nets over noise frames; flow QUALITY of the host gray source
+    is gated by ground-truth EPE + retrieval on the synthetic corpus
+    (tools/flow_quality.py --host_gray), which is the normative gate."""
+    import dataclasses
+
+    base = Extractor(tsn, small_cfg, warped=True,
+                     tvl1=TVL1Params(n_scales=3, n_warps=2, n_iters=8))
+    compact = Extractor(
+        tsn, dataclasses.replace(small_cfg, host_gray=True), warped=True,
+        tvl1=TVL1Params(n_scales=3, n_warps=2, n_iters=8))
+    a = [s.materialize() for s in base.extract_frames(synthetic_frames)]
+    b = [s.materialize() for s in compact.extract_frames(synthetic_frames)]
+    assert [s.clip_numbers for s in a] == [s.clip_numbers for s in b]
+    for sa, sb in zip(a, b):
+        np.testing.assert_allclose(sb.rgb, sa.rgb, atol=1e-5)
+        cos = np.sum(sa.flow * sb.flow, -1) / (
+            np.linalg.norm(sa.flow, axis=-1)
+            * np.linalg.norm(sb.flow, axis=-1) + 1e-12)
+        assert cos.min() > 0.97, f"flow embeddings diverged: cos={cos.min()}"
+
+
+def test_gray_flow_grid_matches_device_gray(rng):
+    """decode.gray_flow_grid (host cv2 path) approximates the on-device
+    gray + flow-grid resize: same shape (flow_grid_shape is shared), and
+    values within a few uint8 LSB (u8 quantization + area-vs-linear
+    downscale differ in the kernel tail, not the signal)."""
+    from videoquery.pipeline.extract import _flow_gray_grid, flow_grid_shape
+
+    frames = rng.integers(0, 255, (6, 256, 340, 3), np.uint8)
+    # smooth so interpolation-kernel differences stay small
+    import cv2
+
+    frames = np.stack([cv2.GaussianBlur(f, (9, 9), 3) for f in frames])
+    fh, fw = flow_grid_shape(256, 340, 2)
+    host = decode.gray_flow_grid(frames, fh, fw).astype(np.float32) / 255.0
+    dev, vscale = _flow_gray_grid(
+        np.asarray(frames)[None], 2, matmul=False)
+    dev = np.asarray(dev)[0]
+    assert host.shape == dev.shape == (6, fh, fw)
+    assert vscale == (340 / fw, 256 / fh)
+    assert np.abs(host - dev).max() < 8 / 255.0
+    assert np.abs(host.mean() - dev.mean()) < 1 / 255.0

@@ -161,7 +161,8 @@ def truth_residual_flow(meta, t, h, w):
 
 
 def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
-                   warm_group=0, warm_camera="own", gray_matmul=False):
+                   warm_group=0, warm_camera="own", gray_matmul=False,
+                   host_gray=""):
     """Mean/percentile endpoint error of a flow config against the corpus's
     known residual-motion fields, reproducing the production flow geometry
     (grayscale, lane-aligned reduced grid, value rescale — extract.py's
@@ -174,13 +175,26 @@ def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
     from videoquery.pipeline.extract import _flow_gray_grid
 
     c, f, h, w = clips.shape[:4]
-    # the production gray+grid path (extract.py), incl. the bf16
-    # matmul-folded variant when gray_matmul is set
-    g, vscale = jax.jit(_flow_gray_grid, static_argnames=(
-        "flow_res_div", "matmul"))(jnp.asarray(clips),
-                                   flow_res_div=flow_res_div,
-                                   matmul=gray_matmul)
-    fh, fw = g.shape[2:4]
+    if host_gray:
+        # the compact-upload gray source (ExtractionConfig.host_gray):
+        # cv2 uint8 gray + resize on the host
+        from videoquery.pipeline import decode
+        from videoquery.pipeline.extract import flow_grid_shape
+
+        fh, fw = flow_grid_shape(h, w, flow_res_div)
+        gh = decode.gray_flow_grid(
+            clips.reshape((c * f,) + clips.shape[2:]), fh, fw,
+            interp=host_gray)
+        g = jnp.asarray(gh.reshape(c, f, fh, fw).astype(np.float32) / 255.0)
+        vscale = (w / fw, h / fh)
+    else:
+        # the production gray+grid path (extract.py), incl. the bf16
+        # matmul-folded variant when gray_matmul is set
+        g, vscale = jax.jit(_flow_gray_grid, static_argnames=(
+            "flow_res_div", "matmul"))(jnp.asarray(clips),
+                                       flow_res_div=flow_res_div,
+                                       matmul=gray_matmul)
+        fh, fw = g.shape[2:4]
     if impl == "pallas":
         from videoquery.pipeline.extract import _pair_flow_uv
         from videoquery.pipeline.sampling import flow_warm_plan
@@ -250,17 +264,29 @@ def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
 
 
 def extract(clips, flow_impl, tvl1, flow_res_div, tsn, warm_group=0,
-            warm_camera="own", gray_matmul=False):
+            warm_camera="own", gray_matmul=False, host_gray=""):
     import jax.numpy as jnp
 
-    from videoquery.pipeline.extract import _extract_step
+    from videoquery.pipeline.extract import _extract_step, flow_grid_shape
     from videoquery.pipeline.sampling import (flow_pair_plan,
                                               flow_stack_index_matrix,
                                               flow_warm_plan, frame_ticks)
 
     c, f = clips.shape[:2]
-    ticks = jnp.asarray(frame_ticks(f, 9, 1) - 1, jnp.int32)
+    ticks_np = frame_ticks(f, 9, 1) - 1
+    ticks = jnp.asarray(ticks_np, jnp.int32)
     kw = {}
+    frames_in = clips
+    if host_gray:
+        from videoquery.pipeline import decode
+
+        h, w = clips.shape[2:4]
+        fh, fw = flow_grid_shape(h, w, flow_res_div)
+        gh = decode.gray_flow_grid(
+            clips.reshape((c * f,) + clips.shape[2:]), fh, fw,
+            interp=host_gray)
+        kw["gray_u8"] = jnp.asarray(gh.reshape(c, f, fh, fw))
+        frames_in = np.ascontiguousarray(clips[:, ticks_np])
     if flow_impl == "pallas":
         pair_idx, stack_pos = flow_pair_plan(f, 9, 5)
         sidx = jnp.asarray(stack_pos, jnp.int32)
@@ -273,7 +299,7 @@ def extract(clips, flow_impl, tvl1, flow_res_div, tsn, warm_group=0,
         sidx = jnp.asarray(flow_stack_index_matrix(f, 9, 5), jnp.int32)
     rgb, flow = _extract_step(
         tsn.rgb.stacked_params, tsn.flow.stacked_params,
-        jnp.asarray(clips), ticks, sidx, 20.0, True, tvl1,
+        jnp.asarray(frames_in), ticks, sidx, 20.0, True, tvl1,
         (340, 256), 224, "float32", flow_impl, flow_res_div,
         flow_warm_camera=warm_camera, flow_gray_matmul=gray_matmul, **kw,
     )
@@ -336,6 +362,10 @@ def main():
     ap.add_argument("--warm_iters", action="store_true",
                     help="sweep the warm-pair refinement iteration count "
                          "(TVL1Params.warm_iters) at the production config")
+    ap.add_argument("--host_gray", action="store_true",
+                    help="gate the compact-upload host gray source "
+                         "(cv2 uint8, ExtractionConfig.host_gray) against "
+                         "the on-device gray at the production config")
     args = ap.parse_args()
 
     from videoquery.pipeline.extract import PRODUCTION_TVL1
@@ -398,6 +428,17 @@ def main():
                 "pallas", _dc.replace(PRODUCTION_TVL1, warm_iters=4),
                 2, 3, "key", True),
         }
+    if args.host_gray:
+        # 7th field = host_gray interp; gate is host gray == device gray on
+        # EPE + retrieval at the full production flow config
+        configs = {
+            "prod device gray (bf16 matmul)": (
+                "pallas", PRODUCTION_TVL1, 2, 3, "key", True, ""),
+            "host gray cv2 area": (
+                "pallas", PRODUCTION_TVL1, 2, 3, "key", True, "area"),
+            "host gray cv2 linear": (
+                "pallas", PRODUCTION_TVL1, 2, 3, "key", True, "linear"),
+        }
     if args.sweep:
         configs.update({
             "half-res s5w5i30 (conservative)": (
@@ -425,9 +466,10 @@ def main():
             wg = cfg[3] if len(cfg) > 3 else 0
             wc = cfg[4] if len(cfg) > 4 else "own"
             gm = cfg[5] if len(cfg) > 5 else False
+            hg = cfg[6] if len(cfg) > 6 else ""
             t0 = time.time()
             rgb, flow = extract(clips, impl, tvl1, div, tsn, warm_group=wg,
-                                warm_camera=wc, gray_matmul=gm)
+                                warm_camera=wc, gray_matmul=gm, host_gray=hg)
             if seed == args.seeds[0]:
                 results[name] = (rgb, flow)
             acc = partner_accuracy(flow, labels)
@@ -437,7 +479,7 @@ def main():
             if not args.no_epe:
                 e = epe_for_config(clips, truths, impl, tvl1, div,
                                    warm_group=wg, warm_camera=wc,
-                                   gray_matmul=gm)
+                                   gray_matmul=gm, host_gray=hg)
                 epes[name].append(e)
                 line += (f"  EPE mean {e['epe_mean']:.3f} p90 "
                          f"{e['epe_p90']:.3f} obj {e['epe_obj']:.3f} "

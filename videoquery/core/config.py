@@ -191,6 +191,16 @@ class ExtractionConfig:
     # shrinks host->device transfers for >SD inputs. The flow stream then
     # always runs at frame_resize/flow_res_div.
     decode_at_target: bool = True
+    # Compact upload: compute grayscale + the flow-grid resize on the HOST
+    # (cv2, uint8 — the same uint8 gray the reference's dense_flow consumed,
+    # build_wof_clips.py:60-73) and upload only the 25 tick frames + gray
+    # per clip instead of all 150 RGB frames (~4x fewer bytes). The win is
+    # end-to-end only: upload-bound hosts (tunneled chips; PCIe contention
+    # at scale) stop paying for frames the device never reads. Device-only
+    # benchmarks are unaffected (the gray matmul fold stays the on-device
+    # path). EPE/retrieval-gated vs the device gray path
+    # (tools/flow_quality.py --host_gray; docs/TUNING.md).
+    host_gray: bool = False
 
     @property
     def frames_per_clip(self) -> int:

@@ -96,6 +96,28 @@ def to_grayscale(frames: np.ndarray) -> np.ndarray:
     return gray / 255.0
 
 
+def gray_flow_grid(frames: np.ndarray, fh: int, fw: int,
+                   interp: str = "area") -> np.ndarray:
+    """BGR uint8 [N, H, W, 3] -> uint8 gray [N, fh, fw] at the flow grid
+    (extract.flow_grid_shape), computed with cv2 on the host.
+
+    This is the compact-upload companion of the on-device gray path: uint8
+    gray is exactly what the reference's dense_flow consumed (its inputs
+    were cv2 gray JPEGs, build_wof_clips.py:60-73), so the 8-bit
+    quantization is parity with the reference rather than a loss. cv2
+    INTER_AREA is the antialiased downscale (the on-device jax.image.resize
+    path also antialiases); "linear" selects cv2's 2-tap INTER_LINEAR.
+    ~0.2 ms/frame on one core — absorbed by the decode thread."""
+    import cv2
+
+    mode = {"area": cv2.INTER_AREA, "linear": cv2.INTER_LINEAR}[interp]
+    out = np.empty((len(frames), fh, fw), np.uint8)
+    for i, f in enumerate(frames):
+        g = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+        out[i] = cv2.resize(g, (fw, fh), interpolation=mode)
+    return out
+
+
 def probe_frame_count(path: str) -> int:
     """Container-reported frame count (0 if unknown)."""
     import cv2

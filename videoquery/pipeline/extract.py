@@ -222,6 +222,21 @@ def _ensemble_embed(params, x_flat: jax.Array, mesh=None) -> jax.Array:
     )(params, x_flat)
 
 
+def flow_grid_shape(h0: int, w0: int, flow_res_div: int) -> tuple[int, int]:
+    """(fh, fw) of the reduced flow grid for native frames of (h0, w0).
+    Heights snap to multiples of 8 (sublane tile); widths >= 128 snap down
+    to lane-tile multiples (a 170-wide grid pads to 256 lanes inside every
+    Pallas roll — 1.5x wasted VPU work; 128 is pad-free). Shared by the
+    on-device gray path (_flow_gray_grid) and the host-gray upload path
+    (decode.gray_flow_grid) so both produce the same program geometry."""
+    if flow_res_div <= 1:
+        return h0, w0
+    fh = max(8, (h0 // flow_res_div) // 8 * 8)
+    fw0 = w0 // flow_res_div
+    fw = (fw0 // 128 * 128) if fw0 >= 128 else fw0
+    return fh, fw
+
+
 def _flow_gray_grid(frames_u8: jax.Array, flow_res_div: int,
                     matmul: bool = True):
     """ITU-R 601 luma (BGR order, cv2 parity) + lane-aligned flow-grid
@@ -241,14 +256,9 @@ def _flow_gray_grid(frames_u8: jax.Array, flow_res_div: int,
                 + 0.299 * f32[..., 2]) / 255.0
         return gray, (1.0, 1.0)
     b, f = frames_u8.shape[:2]
-    fh = max(8, (h0 // flow_res_div) // 8 * 8)
-    # lane-align the flow width when it exceeds a lane tile: a 170-wide
-    # grid pads to 256 lanes inside every Pallas roll (1.5x wasted VPU
-    # work); 128 is pad-free. Widths under 128 pad to one tile either
-    # way, so keep their native aspect. The anisotropic value scale
+    # lane-aligned grid — see flow_grid_shape. The anisotropic value scale
     # converts flow back to native pixels.
-    fw0 = w0 // flow_res_div
-    fw = (fw0 // 128 * 128) if fw0 >= 128 else fw0
+    fh, fw = flow_grid_shape(h0, w0, flow_res_div)
     if not matmul:
         f32 = frames_u8.astype(jnp.float32)
         gray = (0.114 * f32[..., 0] + 0.587 * f32[..., 1]
@@ -301,6 +311,10 @@ def _extract_step(
                                     # affine for warm pairs (gated)
     flow_gray_matmul: bool = True,  # fold gray into the flow-grid resize
                                     # as bf16 matmuls (EPE-gated)
+    gray_u8: jax.Array | None = None,  # u8 [B, F, fh, fw] host-computed
+                                       # gray at the flow grid (compact
+                                       # upload: frames_u8 then holds ONLY
+                                       # the tick frames [B, T, H, W, 3])
 ):
     """The whole per-batch extraction as ONE device program:
     grayscale -> warped TV-L1 -> tick gather -> preprocess -> 6-way TSN.
@@ -308,11 +322,23 @@ def _extract_step(
     Everything stays in HBM; the only outputs are the [K, B, 1024]
     embeddings per stream. (Measured on the tunneled v5e: device->host
     readback runs at ~0.7 MB/s, so round-tripping the flow field through the
-    host — ~10 MB per clip batch — dominated wall clock by 100x.)"""
+    host — ~10 MB per clip batch — dominated wall clock by 100x.)
+
+    With gray_u8 (ExtractionConfig.host_gray), grayscale + flow-grid resize
+    move to the host decoder and the upload shrinks ~4x: 25 tick frames +
+    uint8 gray instead of all 150 RGB frames per clip. uint8 gray is what
+    the reference's dense_flow consumed (build_wof_clips.py:60-73 feeds it
+    cv2 gray JPEGs), so the quantization is parity, not loss."""
     from videoquery.nn import bn_inception
 
-    gray, vscale = _flow_gray_grid(frames_u8, flow_res_div,
-                                   matmul=flow_gray_matmul)
+    if gray_u8 is not None:
+        h0, w0 = frames_u8.shape[2], frames_u8.shape[3]
+        fh, fw = gray_u8.shape[2], gray_u8.shape[3]
+        gray = gray_u8.astype(jnp.float32) / 255.0
+        vscale = (w0 / fw, h0 / fh)
+    else:
+        gray, vscale = _flow_gray_grid(frames_u8, flow_res_div,
+                                       matmul=flow_gray_matmul)
     if flow_pair_idx is not None:
         # compute flow only for the tick-consumed pairs (flow_pair_plan):
         # stack_idx then holds positions into flow_pair_idx
@@ -323,7 +349,10 @@ def _extract_step(
         flow_q = _clip_flow(gray, bound, warped, tvl1, flow_impl,
                             vscale)               # u8 [B,F,fh,fw,2]
 
-    rgb_ticks = jnp.take(frames_u8, rgb_tick_idx, axis=1)  # [B,T,H,W,3]
+    if gray_u8 is not None:
+        rgb_ticks = frames_u8  # host already gathered the tick frames
+    else:
+        rgb_ticks = jnp.take(frames_u8, rgb_tick_idx, axis=1)  # [B,T,H,W,3]
     stacks = jnp.take(flow_q, stack_idx.reshape(-1), axis=1)
     b = frames_u8.shape[0]
     t, d = stack_idx.shape
@@ -574,9 +603,26 @@ class Extractor:
         # path: slots index flow frames directly (pair_idx[pos] == the
         # clamped frame index, identical content to the full layout)
         stack = stack_pos if use_pairs else pair_idx[stack_pos]
+        gray_dev = None
+        if cfg.host_gray:
+            # compact upload: ship only the 25 tick frames + uint8 gray at
+            # the flow grid (~4x fewer bytes than all 150 RGB frames) —
+            # upload-bound hosts (PCIe-starved or tunneled) are the e2e
+            # bottleneck once decode runs at target scale. EPE/retrieval
+            # gated vs the on-device gray path (tools/flow_quality.py
+            # --host_gray; docs/TUNING.md).
+            h0, w0 = clip_rgb.shape[2:4]
+            fh, fw = flow_grid_shape(h0, w0, self.flow_res_div)
+            b_, f_ = clip_rgb.shape[:2]
+            gray = decode.gray_flow_grid(
+                clip_rgb.reshape((b_ * f_,) + clip_rgb.shape[2:]), fh, fw)
+            gray_dev = jnp.asarray(gray.reshape(b_, f_, fh, fw))
+            clip_rgb = np.ascontiguousarray(clip_rgb[:, ticks_rgb - 1])
         frames_dev = jnp.asarray(clip_rgb)
         if self._frame_sharding is not None:
             frames_dev = jax.device_put(frames_dev, self._frame_sharding)
+            if gray_dev is not None:
+                gray_dev = jax.device_put(gray_dev, self._frame_sharding)
         rgb_emb, flow_emb = _extract_step(
             self.tsn.rgb.stacked_params,
             self.tsn.flow.stacked_params,
@@ -597,6 +643,7 @@ class Extractor:
             flow_warm_plan=warm,
             flow_warm_camera=cfg.flow_warm_camera,
             flow_gray_matmul=cfg.flow_gray_matmul,
+            gray_u8=gray_dev,
         )
         # keep embeddings on device: callers batch the readback
         # (gather_signatures) — each np.asarray here costs ~35 ms of tunnel
@@ -688,6 +735,10 @@ def main(argv=None) -> None:
     p.add_argument("--new_height", type=int, default=0, help="decode resize height")
     p.add_argument("--flow_res_div", type=int, default=2,
                    help="compute flow at frame_res/div (speed/quality knob)")
+    p.add_argument("--host_gray", action="store_true",
+                   help="compact upload: host cv2 gray + tick frames only "
+                        "(~4x fewer host->device bytes; see "
+                        "ExtractionConfig.host_gray)")
     args = p.parse_args(argv)
 
     from videoquery.core.jaxsetup import setup_jax
@@ -697,7 +748,8 @@ def main(argv=None) -> None:
     cfg = ExtractionConfig(fps=args.fps, clip_seconds=args.clip_time,
                            num_ticks=args.num_ticks, batch_clips=args.batch_clips,
                            feature_blob=args.featureBlob,
-                           flow_res_div=args.flow_res_div)
+                           flow_res_div=args.flow_res_div,
+                           host_gray=args.host_gray)
 
     # resolve inputs BEFORE building the model: TSN construction costs tens
     # of seconds on a tunneled TPU and a bad path should fail immediately
