@@ -442,6 +442,7 @@ class Extractor:
         self.flow_impl = flow_impl or default_flow_impl()
         self.flow_res_div = self.cfg.flow_res_div
         self.mesh = mesh
+        self._plan_cache: dict[int, tuple] = {}
         self._frame_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -573,21 +574,17 @@ class Extractor:
         sigs.sort(key=lambda s: s.clip_numbers[0])
         return gather_signatures(sigs)
 
-    def _signature_batch(self, frames, gray, group, nums) -> ClipSignatures:
-        del gray  # grayscale now computed on device inside _extract_step
+    def _plan_arrays(self, f_len: int):
+        """Tick/stack/pair/warm index arrays for a clip length, device-
+        resident and CACHED: the plan depends only on (f_len, cfg), which is
+        constant across batches and videos, and on the tunneled backend
+        every host->device transfer pays ~1-2 s of per-call latency — five
+        small uncached index uploads per batch cost more wall clock than
+        the 300 MB frame payload they accompany."""
         cfg = self.cfg
-        f_len = group[0][1] - group[0][0] + 1
-        clip_rgb = np.stack([frames[s - 1:e] for s, e in group])     # [B,F,H,W,3]
-        if f_len < cfg.frames_per_clip:
-            # pad tail clips to the full-clip frame count with repeats of
-            # the last frame: ticks/stacks/pairs are computed from the REAL
-            # f_len below and never index the padding, so the embeddings
-            # are identical (tested) — but every tail length now reuses ONE
-            # compiled program geometry instead of compiling per length
-            # (multi-minute XLA compiles over the tunnel per new video)
-            rep = np.repeat(clip_rgb[:, -1:],
-                            cfg.frames_per_clip - f_len, axis=1)
-            clip_rgb = np.concatenate([clip_rgb, rep], axis=1)
+        hit = self._plan_cache.get(f_len)
+        if hit is not None:
+            return hit
         ticks_rgb = frame_ticks(f_len, cfg.num_ticks, 1)             # 1-based
         pair_idx, stack_pos = flow_pair_plan(
             f_len, cfg.num_ticks, cfg.flow_stack_depth)
@@ -603,6 +600,31 @@ class Extractor:
         # path: slots index flow frames directly (pair_idx[pos] == the
         # clamped frame index, identical content to the full layout)
         stack = stack_pos if use_pairs else pair_idx[stack_pos]
+        plan = (ticks_rgb,
+                jnp.asarray(ticks_rgb - 1, jnp.int32),
+                jnp.asarray(stack, jnp.int32),
+                jnp.asarray(pair_idx, jnp.int32) if use_pairs else None,
+                warm)
+        self._plan_cache[f_len] = plan
+        return plan
+
+    def _signature_batch(self, frames, gray, group, nums) -> ClipSignatures:
+        del gray  # grayscale now computed on device inside _extract_step
+        cfg = self.cfg
+        f_len = group[0][1] - group[0][0] + 1
+        clip_rgb = np.stack([frames[s - 1:e] for s, e in group])     # [B,F,H,W,3]
+        if f_len < cfg.frames_per_clip:
+            # pad tail clips to the full-clip frame count with repeats of
+            # the last frame: ticks/stacks/pairs are computed from the REAL
+            # f_len below and never index the padding, so the embeddings
+            # are identical (tested) — but every tail length now reuses ONE
+            # compiled program geometry instead of compiling per length
+            # (multi-minute XLA compiles over the tunnel per new video)
+            rep = np.repeat(clip_rgb[:, -1:],
+                            cfg.frames_per_clip - f_len, axis=1)
+            clip_rgb = np.concatenate([clip_rgb, rep], axis=1)
+        ticks_rgb, ticks_dev, stack_dev, pair_dev, warm = \
+            self._plan_arrays(f_len)
         gray_dev = None
         if cfg.host_gray:
             # compact upload: ship only the 25 tick frames + uint8 gray at
@@ -627,8 +649,8 @@ class Extractor:
             self.tsn.rgb.stacked_params,
             self.tsn.flow.stacked_params,
             frames_dev,
-            jnp.asarray(ticks_rgb - 1, jnp.int32),
-            jnp.asarray(stack, jnp.int32),
+            ticks_dev,
+            stack_dev,
             cfg.flow_bound,
             self.warped,
             self.tvl1,
@@ -637,8 +659,7 @@ class Extractor:
             self.dtype,
             self.flow_impl,
             self.flow_res_div,
-            flow_pair_idx=(jnp.asarray(pair_idx, jnp.int32)
-                           if use_pairs else None),
+            flow_pair_idx=pair_dev,
             mesh=self.mesh,
             flow_warm_plan=warm,
             flow_warm_camera=cfg.flow_warm_camera,
