@@ -119,13 +119,21 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
 
 
 def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
-              splits=(1, 2, 3), host_gray: bool = False) -> tuple[float, float]:
+              splits=(1, 2, 3), host_gray: bool = False,
+              sustained_frames: int = 3604
+              ) -> tuple[float, float, float]:
     """The honest production number: video FILE -> feature CSVs, wall clock
     including host decode (the headline extract mode feeds in-memory
     frames). Decode overlaps device compute via Extractor.extract_video_
     stream; on few-core hosts the pipeline is decode-bound (cv2 ~130 fps/
     core at this resolution — a production host needs ~1 core per 120 fps
-    of target throughput, or hardware decode upstream)."""
+    of target throughput, or hardware decode upstream).
+
+    Reports TWO rates: the n_frames video is ONE device batch (a fully
+    serialized decode -> upload -> compute -> readback chain, the
+    worst-case short-video latency), while the sustained_frames video spans
+    several batches so the stream path overlaps decode/upload with device
+    compute — the number a production backlog of long videos sees."""
     import tempfile
 
     import jax
@@ -166,11 +174,26 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
     dt = time.time() - t0
     rate = n_clips / dt
     log(f"[e2e] video file -> CSVs: {n_clips} clips in {dt:.2f}s = "
-        f"{rate:.2f} clips/s (decode-overlapped)")
+        f"{rate:.2f} clips/s (decode-overlapped, 1 batch)")
+
+    sustained = 0.0
+    if sustained_frames:
+        long_video = os.path.join(tmp, "bench_long.mp4")
+        decode.synthesize_video(long_video, n_frames=sustained_frames,
+                                size=hw)
+        t0 = time.time()
+        sigs = ex.extract_video_stream(long_video)
+        ex.write_csv_tree(sigs, tmp, "bench_long", long_video)
+        dt = time.time() - t0
+        n_long = sum(len(s.clip_numbers) for s in sigs)
+        sustained = n_long / dt
+        log(f"[e2e] sustained ({n_long} clips, "
+            f"{(n_long + batch_clips - 1)//batch_clips} batches): {dt:.2f}s "
+            f"= {sustained:.2f} clips/s")
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    return rate, len(warm) and n_clips / decode_s
+    return rate, len(warm) and n_clips / decode_s, sustained
 
 
 def bench_query(n_segments: int = 1_000_000, dim: int = 1024, q: int = 16,
@@ -376,9 +399,10 @@ def main():
                                 warm_iters=args.warm_iters)
         metrics["extraction_device_clips_per_s_chip"] = round(rate, 3)
     if args.mode in ("e2e", "all"):
-        e2e_rate, decode_rate = bench_e2e(batch_clips=args.batch_clips,
-                                          host_gray=args.host_gray)
+        e2e_rate, decode_rate, sustained = bench_e2e(
+            batch_clips=args.batch_clips, host_gray=args.host_gray)
         metrics["e2e_file_to_csvs_clips_per_s"] = round(e2e_rate, 3)
+        metrics["e2e_sustained_clips_per_s"] = round(sustained, 3)
         metrics["decode_only_clips_per_s_ceiling"] = round(decode_rate, 3)
         if args.mode == "e2e":
             return emit("e2e_video_file_to_csvs_throughput",
