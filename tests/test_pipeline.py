@@ -426,3 +426,19 @@ def test_gray_flow_grid_matches_device_gray(rng):
     assert vscale == (340 / fw, 256 / fh)
     assert np.abs(host - dev).max() < 8 / 255.0
     assert np.abs(host.mean() - dev.mean()) < 1 / 255.0
+
+
+def test_plan_arrays_cached_per_clip_length(tsn, small_cfg):
+    """Tick/stack/pair index arrays are uploaded once per clip length and
+    reused across batches (each host->device transfer pays ~1-2 s latency
+    on tunneled backends — per-batch re-uploads dominated short-video e2e
+    wall clock)."""
+    ex = Extractor(tsn, small_cfg, warped=False,
+                   tvl1=TVL1Params(n_scales=2, n_warps=1, n_iters=4))
+    p1 = ex._plan_arrays(10)
+    p2 = ex._plan_arrays(10)
+    assert p1 is p2, "same f_len must hit the cache"
+    p3 = ex._plan_arrays(6)
+    assert p3 is not p1 and len(ex._plan_cache) == 2
+    ticks_np, ticks_dev, stack_dev, pair_dev, warm = p1
+    assert ticks_np.min() >= 1 and int(np.asarray(ticks_dev).min()) >= 0
