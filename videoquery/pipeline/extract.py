@@ -612,17 +612,6 @@ class Extractor:
         del gray  # grayscale now computed on device inside _extract_step
         cfg = self.cfg
         f_len = group[0][1] - group[0][0] + 1
-        clip_rgb = np.stack([frames[s - 1:e] for s, e in group])     # [B,F,H,W,3]
-        if f_len < cfg.frames_per_clip:
-            # pad tail clips to the full-clip frame count with repeats of
-            # the last frame: ticks/stacks/pairs are computed from the REAL
-            # f_len below and never index the padding, so the embeddings
-            # are identical (tested) — but every tail length now reuses ONE
-            # compiled program geometry instead of compiling per length
-            # (multi-minute XLA compiles over the tunnel per new video)
-            rep = np.repeat(clip_rgb[:, -1:],
-                            cfg.frames_per_clip - f_len, axis=1)
-            clip_rgb = np.concatenate([clip_rgb, rep], axis=1)
         ticks_rgb, ticks_dev, stack_dev, pair_dev, warm = \
             self._plan_arrays(f_len)
         gray_dev = None
@@ -632,14 +621,38 @@ class Extractor:
             # upload-bound hosts (PCIe-starved or tunneled) are the e2e
             # bottleneck once decode runs at target scale. EPE/retrieval
             # gated vs the on-device gray path (tools/flow_quality.py
-            # --host_gray; docs/TUNING.md).
-            h0, w0 = clip_rgb.shape[2:4]
+            # --host_gray; docs/TUNING.md). The full-clip RGB stack is
+            # never materialized either (~300 MB of host memcpy per batch):
+            # ticks gather straight from the decode buffer, gray is
+            # computed per clip slice, and only GRAY pads to
+            # frames_per_clip for tail clips (one compiled geometry per
+            # batch size; pairs are planned from the real f_len and never
+            # index the padding).
+            fpc = cfg.frames_per_clip
+            h0, w0 = frames.shape[1:3]
             fh, fw = flow_grid_shape(h0, w0, self.flow_res_div)
-            b_, f_ = clip_rgb.shape[:2]
-            gray = decode.gray_flow_grid(
-                clip_rgb.reshape((b_ * f_,) + clip_rgb.shape[2:]), fh, fw)
-            gray_dev = jnp.asarray(gray.reshape(b_, f_, fh, fw))
-            clip_rgb = np.ascontiguousarray(clip_rgb[:, ticks_rgb - 1])
+            gray_np = np.empty((len(group), fpc, fh, fw), np.uint8)
+            for i, (s, e) in enumerate(group):
+                g = decode.gray_flow_grid(frames[s - 1:e], fh, fw)
+                gray_np[i, :f_len] = g
+                if f_len < fpc:
+                    gray_np[i, f_len:] = g[-1]
+            tick0 = ticks_rgb - 1
+            clip_rgb = np.stack([frames[s - 1 + tick0] for s, _e in group])
+            gray_dev = jnp.asarray(gray_np)
+        else:
+            clip_rgb = np.stack([frames[s - 1:e] for s, e in group])  # [B,F,H,W,3]
+            if f_len < cfg.frames_per_clip:
+                # pad tail clips to the full-clip frame count with repeats
+                # of the last frame: ticks/stacks/pairs are computed from
+                # the REAL f_len and never index the padding, so the
+                # embeddings are identical (tested) — but every tail length
+                # now reuses ONE compiled program geometry instead of
+                # compiling per length (multi-minute XLA compiles over the
+                # tunnel per new video)
+                rep = np.repeat(clip_rgb[:, -1:],
+                                cfg.frames_per_clip - f_len, axis=1)
+                clip_rgb = np.concatenate([clip_rgb, rep], axis=1)
         frames_dev = jnp.asarray(clip_rgb)
         if self._frame_sharding is not None:
             frames_dev = jax.device_put(frames_dev, self._frame_sharding)
