@@ -442,3 +442,49 @@ def test_plan_arrays_cached_per_clip_length(tsn, small_cfg):
     assert p3 is not p1 and len(ex._plan_cache) == 2
     ticks_np, ticks_dev, stack_dev, pair_dev, warm = p1
     assert ticks_np.min() >= 1 and int(np.asarray(ticks_dev).min()) >= 0
+
+
+def test_signature_batch_accepts_windowed_list(tsn, small_cfg,
+                                               synthetic_frames):
+    """The streaming path hands _signature_batch a LIST buffer whose
+    already-consumed prefix is freed (None) — constant-memory streaming.
+    Embeddings must equal the ndarray path."""
+    ex = Extractor(tsn, small_cfg, warped=False,
+                   tvl1=TVL1Params(n_scales=2, n_warps=1, n_iters=4))
+    group = [(11, 20), (21, 26)]  # second full clip + would-be ranges
+    group = [(11, 20)]
+    nums = [2]
+    arr_sig = ex._signature_batch(synthetic_frames, None, group,
+                                  nums).materialize()
+    buf = [None] * 10 + [f for f in synthetic_frames[10:]]
+    list_sig = ex._signature_batch(buf, None, group, nums).materialize()
+    np.testing.assert_allclose(list_sig.rgb, arr_sig.rgb, atol=1e-5)
+    np.testing.assert_allclose(list_sig.flow, arr_sig.flow, atol=1e-5)
+
+
+def test_stream_releases_consumed_frames(tmp_path, tsn, small_cfg,
+                                         monkeypatch):
+    """extract_video_stream must not retain every decoded frame: after a
+    full batch is dispatched, its frames are released (the whole-video
+    buffer was ~14 GB/h of RAM at production geometry)."""
+    import videoquery.pipeline.extract as ext
+
+    path = str(tmp_path / "v.mp4")
+    decode.synthesize_video(path, n_frames=27, size=(240, 160))
+    ex = Extractor(tsn, small_cfg, warped=False,
+                   tvl1=TVL1Params(n_scales=2, n_warps=1, n_iters=4))
+    seen_buffers = []
+    orig = Extractor._signature_batch
+
+    def spy(self, frames, gray, group, nums):
+        seen_buffers.append((frames, [s for s, _e in group]))
+        return orig(self, frames, gray, group, nums)
+
+    monkeypatch.setattr(Extractor, "_signature_batch", spy)
+    ex.extract_video_stream(path)
+    # the LAST batch (replan) must observe freed entries from earlier ones
+    final_buf, _ = seen_buffers[-1]
+    assert isinstance(final_buf, list)
+    if len(seen_buffers) > 1:
+        n_freed = sum(f is None for f in final_buf)
+        assert n_freed > 0, "no frames were released by the streaming path"

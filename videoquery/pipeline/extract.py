@@ -494,7 +494,15 @@ class Extractor:
         end-to-end wall clock approaches max(decode, device) instead of
         their sum (the reference ran its two stages strictly sequentially,
         build_wof_clips.py:175-189). Falls back to load-then-extract when
-        the container reports no frame count."""
+        the container reports no frame count.
+
+        Memory is CONSTANT in video length: clip batches consume frames in
+        monotonically increasing ranges (pairs never cross clips), so every
+        frame a dispatched batch has copied out is released immediately —
+        peak host RAM is one batch window (~40 MB at production geometry)
+        instead of the whole decoded video (a 1 h 15 fps video is ~14 GB;
+        the reference spilled frames/flow to JPEG trees on disk instead,
+        build_wof_clips.py:44-100)."""
         import threading
 
         if new_size is None:
@@ -504,20 +512,14 @@ class Extractor:
             return self.extract_video(path)
         usable = total - 1  # first decoded frame skipped (decode.py parity)
         got = threading.Condition()
-        state = {"err": None, "n": 0, "arr": None, "extra": []}
+        frames: list[np.ndarray | None] = []
+        state = {"err": None, "done": False}
 
         def producer():
             try:
                 for f in decode.video_frames(path, new_size):
                     with got:
-                        if state["arr"] is None:
-                            state["arr"] = np.empty((usable,) + f.shape,
-                                                    np.uint8)
-                        if state["n"] < usable:
-                            state["arr"][state["n"]] = f
-                            state["n"] += 1
-                        else:  # container under-reported its frame count
-                            state["extra"].append(f)
+                        frames.append(f)
                         got.notify_all()
             except BaseException as exc:  # surface decode errors
                 state["err"] = exc
@@ -530,6 +532,7 @@ class Extractor:
         t.start()
         sigs: list[ClipSignatures] = []
         done_clips: set[int] = set()
+        freed = 0
         fpc = self.cfg.frames_per_clip
         # Stream only FULL clip batches while decoding; the tail clip is
         # planned after decode finishes, from the ACTUAL frame count —
@@ -541,14 +544,20 @@ class Extractor:
             need = max(e for _s, e in group)
             with got:
                 got.wait_for(
-                    lambda: state["n"] >= need or state.get("done", False))
-                n_avail = state["n"]
+                    lambda: len(frames) >= need or state["done"])
+                n_avail = len(frames)
             if state["err"] is not None:
                 raise state["err"]
             if n_avail < need:
                 break  # over-reported count: replan below on actuals
-            sigs.append(self._signature_batch(state["arr"], None, group, nums))
+            sigs.append(self._signature_batch(frames, None, group, nums))
             done_clips.update(nums)
+            # release everything this batch consumed: later groups only
+            # touch frame indices >= need (clip ranges are disjoint and
+            # monotonic, flow pairs never cross a clip boundary)
+            for j in range(freed, need):
+                frames[j] = None
+            freed = need
         t.join()
         if state["err"] is not None:
             # a decode failure must never silently truncate a video's
@@ -557,20 +566,16 @@ class Extractor:
         # replan on the actual decoded count: emits the tail clip and any
         # full groups the estimate missed (full-group boundaries are
         # identical across totals, so emitted work never changes meaning)
-        arr = state["arr"]
-        if arr is None:
+        actual = len(frames)
+        if actual == 0:
             raise IOError(f"no frames decoded from {path!r}")
-        actual = state["n"] + len(state["extra"])
-        if state["extra"]:
-            arr = np.concatenate([arr[:state["n"]], np.stack(state["extra"])])
-        elif actual < usable:
+        if actual < usable:
             log.warning("%s: decoded %d < reported %d frames", path, actual,
                         usable)
-            arr = arr[:actual]
         for group, nums in self._plan_groups(actual):
             if all(n in done_clips for n in nums):
                 continue
-            sigs.append(self._signature_batch(arr, None, group, nums))
+            sigs.append(self._signature_batch(frames, None, group, nums))
         sigs.sort(key=lambda s: s.clip_numbers[0])
         return gather_signatures(sigs)
 
@@ -609,9 +614,20 @@ class Extractor:
         return plan
 
     def _signature_batch(self, frames, gray, group, nums) -> ClipSignatures:
+        """frames: uint8 [N, H, W, 3] ndarray OR a list of [H, W, 3] frames
+        (the streaming path's constant-memory window buffer)."""
         del gray  # grayscale now computed on device inside _extract_step
         cfg = self.cfg
         f_len = group[0][1] - group[0][0] + 1
+        is_arr = isinstance(frames, np.ndarray)
+
+        def frame_range(a, b):  # 0-based [a, b)
+            return frames[a:b] if is_arr else np.stack(frames[a:b])
+
+        def frame_gather(idxs):  # 0-based index array
+            return (frames[idxs] if is_arr
+                    else np.stack([frames[j] for j in idxs]))
+
         ticks_rgb, ticks_dev, stack_dev, pair_dev, warm = \
             self._plan_arrays(f_len)
         gray_dev = None
@@ -629,7 +645,8 @@ class Extractor:
             # batch size; pairs are planned from the real f_len and never
             # index the padding).
             fpc = cfg.frames_per_clip
-            h0, w0 = frames.shape[1:3]
+            h0, w0 = frames[group[0][0] - 1].shape[:2] if not is_arr \
+                else frames.shape[1:3]
             fh, fw = flow_grid_shape(h0, w0, self.flow_res_div)
             gray_np = np.empty((len(group), fpc, fh, fw), np.uint8)
             for i, (s, e) in enumerate(group):
@@ -638,10 +655,12 @@ class Extractor:
                 if f_len < fpc:
                     gray_np[i, f_len:] = g[-1]
             tick0 = ticks_rgb - 1
-            clip_rgb = np.stack([frames[s - 1 + tick0] for s, _e in group])
+            clip_rgb = np.stack([frame_gather(s - 1 + tick0)
+                                 for s, _e in group])
             gray_dev = jnp.asarray(gray_np)
         else:
-            clip_rgb = np.stack([frames[s - 1:e] for s, e in group])  # [B,F,H,W,3]
+            clip_rgb = np.stack([frame_range(s - 1, e)
+                                 for s, e in group])      # [B,F,H,W,3]
             if f_len < cfg.frames_per_clip:
                 # pad tail clips to the full-clip frame count with repeats
                 # of the last frame: ticks/stacks/pairs are computed from
