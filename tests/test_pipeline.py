@@ -488,3 +488,26 @@ def test_stream_releases_consumed_frames(tmp_path, tsn, small_cfg,
     if len(seen_buffers) > 1:
         n_freed = sum(f is None for f in final_buf)
         assert n_freed > 0, "no frames were released by the streaming path"
+
+
+def test_extract_video_stream_host_gray_matches_batch(tmp_path, tsn,
+                                                      small_cfg):
+    """host_gray streaming (producer-thread gray, compact upload, windowed
+    buffer) must equal host_gray load-then-extract: the gray values must be
+    identical whether computed per frame in the producer or per clip slice
+    in the batch path."""
+    import dataclasses
+
+    path = str(tmp_path / "hg.mp4")
+    decode.synthesize_video(path, n_frames=26, size=(96, 64), fps=5)
+    cfg = dataclasses.replace(small_cfg, host_gray=True)
+    ex = Extractor(tsn, cfg, warped=False,
+                   tvl1=TVL1Params(n_scales=2, n_warps=1, n_iters=4))
+    want = ex.extract_video(path)
+    got = ex.extract_video_stream(path)
+    assert [s.clip_numbers for s in got] == [s.clip_numbers for s in want]
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.flow), np.asarray(b.flow),
+                                   rtol=1e-5, atol=1e-6)

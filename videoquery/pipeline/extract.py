@@ -514,12 +514,24 @@ class Extractor:
         got = threading.Condition()
         frames: list[np.ndarray | None] = []
         state = {"err": None, "done": False}
+        # host_gray: grayscale is computed per frame IN the producer — cv2
+        # releases the GIL, so on 2+ core hosts gray overlaps the main
+        # thread's uploads/dispatch instead of sitting on the critical path
+        grays: list[np.ndarray] | None = [] if self.cfg.host_gray else None
 
         def producer():
             try:
+                grid = None
                 for f in decode.video_frames(path, new_size):
+                    if grays is not None:
+                        if grid is None:
+                            grid = flow_grid_shape(f.shape[0], f.shape[1],
+                                                   self.flow_res_div)
+                        g = decode.gray_flow_grid(f[None], *grid)[0]
                     with got:
                         frames.append(f)
+                        if grays is not None:
+                            grays.append(g)
                         got.notify_all()
             except BaseException as exc:  # surface decode errors
                 state["err"] = exc
@@ -550,13 +562,15 @@ class Extractor:
                 raise state["err"]
             if n_avail < need:
                 break  # over-reported count: replan below on actuals
-            sigs.append(self._signature_batch(frames, None, group, nums))
+            sigs.append(self._signature_batch(frames, grays, group, nums))
             done_clips.update(nums)
             # release everything this batch consumed: later groups only
             # touch frame indices >= need (clip ranges are disjoint and
             # monotonic, flow pairs never cross a clip boundary)
             for j in range(freed, need):
                 frames[j] = None
+                if grays is not None:
+                    grays[j] = None
             freed = need
         t.join()
         if state["err"] is not None:
@@ -575,7 +589,7 @@ class Extractor:
         for group, nums in self._plan_groups(actual):
             if all(n in done_clips for n in nums):
                 continue
-            sigs.append(self._signature_batch(frames, None, group, nums))
+            sigs.append(self._signature_batch(frames, grays, group, nums))
         sigs.sort(key=lambda s: s.clip_numbers[0])
         return gather_signatures(sigs)
 
@@ -615,8 +629,11 @@ class Extractor:
 
     def _signature_batch(self, frames, gray, group, nums) -> ClipSignatures:
         """frames: uint8 [N, H, W, 3] ndarray OR a list of [H, W, 3] frames
-        (the streaming path's constant-memory window buffer)."""
-        del gray  # grayscale now computed on device inside _extract_step
+        (the streaming path's constant-memory window buffer).
+        gray: optional list of per-frame uint8 flow-grid gray, parallel to
+        frames — precomputed by the streaming producer thread in host_gray
+        mode so the cv2 work overlaps uploads/dispatch on 2+ core hosts.
+        Ignored (device computes gray) unless cfg.host_gray."""
         cfg = self.cfg
         f_len = group[0][1] - group[0][0] + 1
         is_arr = isinstance(frames, np.ndarray)
@@ -650,7 +667,10 @@ class Extractor:
             fh, fw = flow_grid_shape(h0, w0, self.flow_res_div)
             gray_np = np.empty((len(group), fpc, fh, fw), np.uint8)
             for i, (s, e) in enumerate(group):
-                g = decode.gray_flow_grid(frames[s - 1:e], fh, fw)
+                if gray is not None:
+                    g = np.stack(gray[s - 1:e])
+                else:
+                    g = decode.gray_flow_grid(frames[s - 1:e], fh, fw)
                 gray_np[i, :f_len] = g
                 if f_len < fpc:
                     gray_np[i, f_len:] = g[-1]
