@@ -677,8 +677,8 @@ class Extractor:
             tick0 = ticks_rgb - 1
             clip_rgb = np.stack([frame_gather(s - 1 + tick0)
                                  for s, _e in group])
-            gray_dev = jnp.asarray(gray_np)
         else:
+            gray_np = None
             clip_rgb = np.stack([frame_range(s - 1, e)
                                  for s, e in group])      # [B,F,H,W,3]
             if f_len < cfg.frames_per_clip:
@@ -692,11 +692,21 @@ class Extractor:
                 rep = np.repeat(clip_rgb[:, -1:],
                                 cfg.frames_per_clip - f_len, axis=1)
                 clip_rgb = np.concatenate([clip_rgb, rep], axis=1)
-        frames_dev = jnp.asarray(clip_rgb)
-        if self._frame_sharding is not None:
-            frames_dev = jax.device_put(frames_dev, self._frame_sharding)
-            if gray_dev is not None:
-                gray_dev = jax.device_put(gray_dev, self._frame_sharding)
+        if gray_np is not None and self._frame_sharding is None:
+            # both payloads are uint8: pack them into ONE transfer — each
+            # host->device call pays ~1 s latency on tunneled backends
+            # (core/transfer.py), so 1 upload/batch beats 2 small ones
+            from videoquery.core.transfer import device_put_tree
+
+            frames_dev, gray_dev = device_put_tree((clip_rgb, gray_np))
+        else:
+            frames_dev = jnp.asarray(clip_rgb)
+            if gray_np is not None:
+                gray_dev = jnp.asarray(gray_np)
+            if self._frame_sharding is not None:
+                frames_dev = jax.device_put(frames_dev, self._frame_sharding)
+                if gray_dev is not None:
+                    gray_dev = jax.device_put(gray_dev, self._frame_sharding)
         rgb_emb, flow_emb = _extract_step(
             self.tsn.rgb.stacked_params,
             self.tsn.flow.stacked_params,
