@@ -138,10 +138,15 @@ class ShardedSearch:
         m = np.zeros((q, len(idx.streams), len(idx.splits)), bool)
         w = np.zeros((q, len(idx.streams)), np.float32)
         for qi, (target, wt) in enumerate(zip(targets, weights)):
-            ta, ma = idx.target_arrays(target)
-            t[qi], m[qi] = np.asarray(ta), np.asarray(ma)
+            # host-side packing: target_arrays uploads, and pulling the
+            # arrays back down costs a ~35 ms round-trip PER QUERY on a
+            # tunneled chip (device->host runs at ~0.7 MB/s there)
+            ta, ma = idx.target_arrays_host(target)
+            t[qi], m[qi] = ta.astype(np.float32), ma
             w[qi] = [wt[s] for s in idx.streams]
-        return jnp.asarray(t), jnp.asarray(m), jnp.asarray(w)
+        from videoquery.core.transfer import device_put_tree
+
+        return device_put_tree((t, m, w))  # f32 pack + bool: 2 transfers
 
     def topk(self, targets, tmask, weights, k: int = 20):
         """Device arrays in, (scores f32[Q, k], clip_ids i64[Q, k]) out."""

@@ -173,15 +173,17 @@ def optimize_weights(
         lab_p[:m] = labels
         mask = np.zeros(mp, np.float32)
         mask[:m] = 1.0
+        # one packed f32 upload instead of five: each host->device transfer
+        # pays ~1 s latency on tunneled backends (core/transfer.py), and
+        # this runs once per broker round
+        from videoquery.core.transfer import device_put_tree
+
+        sim_d, lab_d, wg_d, tg_d, mask_d = device_put_tree((
+            sim_p, lab_p, np.asarray(weight_grid, np.float32),
+            np.asarray(threshold_grid, np.float32), mask))
         losses = np.asarray(
-            grid_losses(
-                jnp.asarray(sim_p),
-                jnp.asarray(lab_p),
-                jnp.asarray(weight_grid, jnp.float32),
-                jnp.asarray(threshold_grid, jnp.float32),
-                jnp.float32(ballast),
-                jnp.asarray(mask),
-            ),
+            grid_losses(sim_d, lab_d, wg_d, tg_d, jnp.float32(ballast),
+                        mask_d),
             dtype=np.float64,
         )
     iw, it = np.unravel_index(np.argmin(losses), losses.shape)
