@@ -19,6 +19,17 @@ from videoquery.search.optimizer import GridResult, optimize_weights
 from videoquery.search.scoring import ensemble_similarities
 
 
+def _pack_f32(avg, counts):
+    """Stack (avg f32[S,N], counts i32[S,N]) into one f32[2S,N] so the
+    round's result leaves the device in a single transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(
+        lambda a, c: jnp.concatenate([a, c.astype(jnp.float32)], axis=0)
+    )(avg, counts)
+
+
 class SimilarityTable:
     """Host-side view of the device similarity computation for one target."""
 
@@ -119,7 +130,12 @@ class SearchEngine:
         avg, counts = ensemble_similarities(
             targets, tmask, self.index.feats, self.index.mask
         )
-        return SimilarityTable(self.index, np.asarray(avg), np.asarray(counts))
+        # ONE download: counts are tiny ints (<= n_splits), exact in f32;
+        # a second device->host transfer costs ~1 s latency tunneled
+        packed = np.asarray(_pack_f32(avg, counts))
+        s = avg.shape[0]
+        return SimilarityTable(self.index, packed[:s],
+                               packed[s:].astype(np.int32))
 
     def _compute_similarities_host(self, target) -> SimilarityTable:
         targets, tmask = self.index.target_arrays_host(target)
