@@ -667,13 +667,13 @@ class Extractor:
             fh, fw = flow_grid_shape(h0, w0, self.flow_res_div)
             gray_np = np.empty((len(group), fpc, fh, fw), np.uint8)
             for i, (s, e) in enumerate(group):
-                if gray is not None:
-                    g = np.stack(gray[s - 1:e])
+                if gray is not None:  # producer-precomputed per-frame gray
+                    gray_np[i, :f_len] = gray[s - 1:e]
                 else:
-                    g = decode.gray_flow_grid(frames[s - 1:e], fh, fw)
-                gray_np[i, :f_len] = g
+                    gray_np[i, :f_len] = decode.gray_flow_grid(
+                        frames[s - 1:e], fh, fw)
                 if f_len < fpc:
-                    gray_np[i, f_len:] = g[-1]
+                    gray_np[i, f_len:] = gray_np[i, f_len - 1]
             tick0 = ticks_rgb - 1
             clip_rgb = np.stack([frame_gather(s - 1 + tick0)
                                  for s, _e in group])
