@@ -81,6 +81,7 @@ def main():
     if args.warm:
         import jax.numpy as jnp2
 
+        from videoquery.core.config import ExtractionConfig
         from videoquery.pipeline.extract import _pair_flow_uv
         from videoquery.pipeline.sampling import flow_warm_plan
 
@@ -88,14 +89,19 @@ def main():
         # temporal structure the warm start exploits
         gray = jnp.concatenate([i0[:1], i1], axis=0)[None]  # [1, n+1, h, w]
         pair_idx = np.arange(n, dtype=np.int32)
-        fn = jax.jit(_pair_flow_uv, static_argnames=("warped", "tvl1"))
+        # bench exactly what ships: production flow_warm_camera ("key"
+        # reuses the keyframe's LK camera fit for warm pairs)
+        warm_camera = ExtractionConfig().flow_warm_camera
+        fn = jax.jit(_pair_flow_uv,
+                     static_argnames=("warped", "tvl1", "warm_camera"))
         for wg in (0, 5, 3):
             plan = None
             if wg:
                 kp, wp_, ws = flow_warm_plan(pair_idx, wg)
                 plan = (jnp.asarray(kp), jnp.asarray(wp_), jnp.asarray(ws))
-            dt, _ = timeit(fn, gray, jnp.asarray(pair_idx), True, p, plan)
-            label = f"warm g{wg}" if wg else "cold    "
+            dt, _ = timeit(fn, gray, jnp.asarray(pair_idx), True, p, plan,
+                           warm_camera=warm_camera)
+            label = f"warm g{wg} cam={warm_camera}" if wg else "cold    "
             print(f"warped prod {label}: {dt*1e3:8.1f} ms for {n} pairs "
                   f"({n/dt:8.1f} pairs/s)")
         return

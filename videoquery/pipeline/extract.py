@@ -110,8 +110,11 @@ def warm_tvl1_params(tvl1: TVL1Params) -> TVL1Params:
     large-scale motion of a neighbor pair, only the residual needs solving
     (gated at equal EPE + retrieval vs the cold path,
     tools/flow_quality.py)."""
+    # fine_iters=None: iters_at_level() would otherwise clamp the warm
+    # budget to the inherited fine_iters, silently capping warm_iters
+    # sweep values above it.
     return dataclasses.replace(
-        tvl1, n_warps=1, fine_warps=1,
+        tvl1, n_warps=1, fine_warps=1, fine_iters=None,
         n_iters=tvl1.warm_iters or tvl1.fine_iters or tvl1.n_iters)
 
 

@@ -19,15 +19,25 @@ from videoquery.search.optimizer import GridResult, optimize_weights
 from videoquery.search.scoring import ensemble_similarities
 
 
+_PACK_F32_JIT = None
+
+
 def _pack_f32(avg, counts):
     """Stack (avg f32[S,N], counts i32[S,N]) into one f32[2S,N] so the
-    round's result leaves the device in a single transfer."""
-    import jax
-    import jax.numpy as jnp
+    round's result leaves the device in a single transfer.
 
-    return jax.jit(
-        lambda a, c: jnp.concatenate([a, c.astype(jnp.float32)], axis=0)
-    )(avg, counts)
+    The jitted concat is created once at first use (module-level cache):
+    jit caches by callable identity, so a per-call lambda would re-trace
+    every round."""
+    global _PACK_F32_JIT
+    if _PACK_F32_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        _PACK_F32_JIT = jax.jit(
+            lambda a, c: jnp.concatenate([a, c.astype(jnp.float32)], axis=0)
+        )
+    return _PACK_F32_JIT(avg, counts)
 
 
 class SimilarityTable:

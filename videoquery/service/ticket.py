@@ -129,8 +129,11 @@ class Ticket:
         """Cheap per-round staleness signal for the index cache: one
         search-set read (the reference refetched the whole feature set every
         round, ticket.py:358-382; we only refetch when this changes). Uses
-        whatever version-ish field the API exposes; None disables
-        version-keying (TTL still bounds staleness)."""
+        whatever version-ish field the API exposes. Returns None when the
+        API exposes no usable signal — the caller (compute_matches.
+        process_job) then bypasses the cache entirely and refetches every
+        round, matching reference semantics; None must NOT be treated as
+        a cacheable version."""
         try:
             row = self.client.action(
                 ["search-sets", "read"], {"id": self.search_set}

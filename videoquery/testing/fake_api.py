@@ -316,8 +316,14 @@ class FakeAPI:
         return dict(row)
 
     def _a_match_patch(self, params):
-        m = self.matches[params.pop("id")]
-        m.update(params)
+        m = self.matches[params["id"]]
+        # never mutate the caller's dict; only persist known match fields
+        # (the real DRF API rejects unknown ones)
+        unknown = set(params) - {"id", "score", "user_match", "is_match",
+                                 "notes"}
+        if unknown:
+            raise KeyError(f"match patch: unknown fields {sorted(unknown)}")
+        m.update({k: v for k, v in params.items() if k != "id"})
         return dict(m)
 
     def _a_matches_list(self, params):
