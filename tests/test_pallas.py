@@ -329,6 +329,23 @@ def test_flow_warm_plan_structure():
                 assert np.all(np.diff(seg) == 1)
 
 
+def test_warm_tvl1_params_iteration_budget():
+    """The warm refinement schedule must honor warm_iters exactly, even
+    above the inherited fine_iters (iters_at_level would otherwise clamp
+    a sweep's warm_iters=15 silently back to fine_iters=10)."""
+    from videoquery.kernels.tvl1 import TVL1Params
+    from videoquery.pipeline.extract import warm_tvl1_params
+
+    for wi in (6, 10, 15):  # below, at, and above fine_iters
+        p = warm_tvl1_params(TVL1Params(n_iters=20, fine_iters=10,
+                                        warm_iters=wi))
+        assert p.n_warps == 1 and p.fine_warps == 1
+        assert p.iters_at_level(0) == wi, wi
+    # no warm_iters set: fall back to the fine-level budget
+    p = warm_tvl1_params(TVL1Params(n_iters=20, fine_iters=10))
+    assert p.iters_at_level(0) == 10
+
+
 def test_warm_camera_key_matches_own_on_constant_pan(rng):
     """warm_camera='key' reuses the keyframe's camera affine; on constant
     camera motion it must produce the same flow as per-pair estimation."""
