@@ -22,7 +22,190 @@
 #include <unistd.h>
 #include <vector>
 
+#include "vqio_pow5.h"
+
 namespace {
+
+// ---------------------------------------------------------------------------
+// Correctly-rounded decimal -> double (Eisel-Lemire), with strtod fallback.
+//
+// strtod was the measured ingest bottleneck (~6k rows/s/core of 1024-d
+// features = ~160 ns/value in glibc's arbitrary-precision path). The
+// Eisel-Lemire algorithm (Lemire, "Number Parsing at a Gigabyte per
+// Second", SP&E 2021) computes the correctly-rounded IEEE-754 double for a
+// (mantissa, 10^q) pair with one or two 64x64->128 multiplies against a
+// precomputed 128-bit powers-of-ten table, DETECTING every case it cannot
+// certify (truncated 20+ digit mantissas, subnormals, exact-halfway
+// ambiguity) so those fall back to strtod. Result: bit-identical to
+// strtod/Python float() on every input by construction — the fast path
+// either proves its rounding or declines.
+// ---------------------------------------------------------------------------
+
+// Returns true and writes the correctly-rounded double for w * 10^q
+// (w != 0); returns false when correct rounding cannot be certified.
+inline bool eisel_lemire(uint64_t w, int64_t q, double* out) {
+  if (q < kPow5Smallest || q > kPow5Largest) return false;
+  int lz = __builtin_clzll(w);
+  w <<= lz;
+  const uint64_t* pow = kPow5Table[q - kPow5Smallest];
+  __uint128_t prod = static_cast<__uint128_t>(w) * pow[0];
+  uint64_t hi = static_cast<uint64_t>(prod >> 64);
+  uint64_t lo = static_cast<uint64_t>(prod);
+  // 9 low bits of hi feed the round/sticky decision; if they are all ones
+  // the truncated 128-bit table value may not determine them — refine with
+  // the second 64 bits of the power.
+  if ((hi & 0x1FF) == 0x1FF) {
+    __uint128_t prod2 = static_cast<__uint128_t>(w) * pow[1];
+    uint64_t hi2 = static_cast<uint64_t>(prod2 >> 64);
+    uint64_t old_lo = lo;
+    lo += hi2;
+    if (lo < old_lo) {
+      ++hi;
+    }
+    if ((hi & 0x1FF) == 0x1FF && lo + 1 == 0) return false;  // still unsure
+  }
+  int upperbit = static_cast<int>(hi >> 63);
+  uint64_t mantissa = hi >> (upperbit + 9);  // 53 bits + round bit (54)
+  // Unbiased exponent of the value: the product w<<lz times the table's
+  // high word approximates value * 2^(lz - s - 64) with
+  // s = floor(log2(10^q)) - 127, so E = L + 63 - lz + upperbit where
+  // L = floor(q * log2(10)); 217706/2^16 approximates log2(10)=3.3219...,
+  // exact over the table's q range.
+  int power2 = static_cast<int>((217706 * q) >> 16) + 63 - lz + upperbit;
+  if (power2 <= -1022) return false;  // subnormal/underflow: strtod handles
+  if (power2 > 1023) return false;    // overflow: strtod yields inf
+  // Round-to-even halfway ambiguity (published algorithm's condition):
+  // only q in [-4, 23] can produce a value exactly between two doubles,
+  // signalled by an all-zero tail below the round bit. Defer to strtod.
+  if (lo <= 1 && q >= -4 && q <= 23 && (mantissa & 3) == 1
+      && (mantissa << (upperbit + 9)) == hi) {
+    return false;
+  }
+  mantissa += mantissa & 1;  // round half up (ambiguous cases deferred)
+  mantissa >>= 1;
+  if (mantissa >= (1ULL << 53)) {
+    mantissa = 1ULL << 52;
+    ++power2;
+    if (power2 > 1023) return false;
+  }
+  mantissa &= (1ULL << 52) - 1;
+  uint64_t bits = mantissa | (static_cast<uint64_t>(power2 + 1023) << 52);
+  memcpy(out, &bits, sizeof(double));
+  return true;
+}
+
+// Parse one decimal number in [p, line_end). Advances *pp past the number.
+// Bit-identical to strtod on the same token (fast path certifies its
+// rounding or defers to strtod). Returns false if no number was parsed.
+inline bool parse_value(const char** pp, const char* line_end, double* out) {
+  const char* p = *pp;
+  const char* start = p;
+  bool neg = false;
+  if (p < line_end && (*p == '-' || *p == '+')) {
+    neg = (*p == '-');
+    ++p;
+  }
+  uint64_t mant = 0;
+  int digits = 0;        // significant digits accumulated in mant
+  int64_t exp10 = 0;
+  bool truncated = false;
+  bool any = false;
+  while (p < line_end && *p >= '0' && *p <= '9') {
+    any = true;
+    if (digits < 19) {
+      mant = mant * 10 + static_cast<uint64_t>(*p - '0');
+      if (mant) ++digits;  // leading zeros are free
+    } else {
+      truncated = true;
+      ++exp10;  // dropped integer digit shifts the exponent up
+    }
+    ++p;
+  }
+  if (p < line_end && *p == '.') {
+    ++p;
+    while (p < line_end && *p >= '0' && *p <= '9') {
+      any = true;
+      if (digits < 19) {
+        mant = mant * 10 + static_cast<uint64_t>(*p - '0');
+        if (mant) ++digits;
+        --exp10;
+      } else {
+        truncated = true;  // dropped fraction digit: exponent unchanged
+      }
+      ++p;
+    }
+  }
+  if (!any) {
+    // inf/nan/hex or garbage: let strtod decide (it needs a NUL-terminated
+    // buffer, which parse_file guarantees).
+    char* after = nullptr;
+    double v = strtod(start, &after);
+    if (after == start || after > line_end) return false;
+    *out = v;
+    *pp = after;
+    return true;
+  }
+  if (p < line_end && (*p == 'e' || *p == 'E')) {
+    const char* ep = p + 1;
+    bool eneg = false;
+    if (ep < line_end && (*ep == '-' || *ep == '+')) {
+      eneg = (*ep == '-');
+      ++ep;
+    }
+    if (ep < line_end && *ep >= '0' && *ep <= '9') {
+      int64_t e = 0;
+      while (ep < line_end && *ep >= '0' && *ep <= '9') {
+        if (e < 10000) e = e * 10 + (*ep - '0');
+        ++ep;
+      }
+      exp10 += eneg ? -e : e;
+      p = ep;
+    }
+    // trailing bare 'e' is not part of the number (strtod semantics)
+  }
+  if (mant == 0) {
+    *out = neg ? -0.0 : 0.0;
+    *pp = p;
+    return true;
+  }
+  double v;
+  if (!truncated) {
+    // Clinger fast path: both mant and 10^|exp10| exactly representable —
+    // one IEEE multiply/divide is correctly rounded.
+    static const double kPow10[] = {1e0,  1e1,  1e2,  1e3,  1e4,  1e5,
+                                    1e6,  1e7,  1e8,  1e9,  1e10, 1e11,
+                                    1e12, 1e13, 1e14, 1e15, 1e16, 1e17,
+                                    1e18, 1e19, 1e20, 1e21, 1e22};
+    if (mant < (1ULL << 53) && exp10 >= -22 && exp10 <= 22) {
+      v = static_cast<double>(mant);
+      v = exp10 < 0 ? v / kPow10[-exp10] : v * kPow10[exp10];
+      *out = neg ? -v : v;
+      *pp = p;
+      return true;
+    }
+    if (eisel_lemire(mant, exp10, &v)) {
+      *out = neg ? -v : v;
+      *pp = p;
+      return true;
+    }
+  } else {
+    // 20+ significant digits: try both truncated and truncated+1 — when
+    // they round to the SAME double the dropped tail cannot matter.
+    double v2;
+    if (eisel_lemire(mant, exp10, &v) && eisel_lemire(mant + 1, exp10, &v2)
+        && v == v2) {
+      *out = neg ? -v : v;
+      *pp = p;
+      return true;
+    }
+  }
+  char* after = nullptr;
+  v = strtod(start, &after);
+  if (after == start || after > line_end) return false;
+  *out = v;
+  *pp = after;
+  return true;
+}
 
 struct Parsed {
   std::string header;
@@ -38,9 +221,14 @@ struct Parsed {
 // (the Python fallback then raises) instead of silently consuming the next
 // row's values.
 void parse_rows(const char* begin, const char* end, int64_t dim,
-                std::vector<int64_t>* clips, std::vector<double>* values,
-                bool* ok) {
+                int64_t row_bytes_hint, std::vector<int64_t>* clips,
+                std::vector<double>* values, bool* ok) {
   *ok = true;
+  if (row_bytes_hint > 0) {
+    int64_t est = (end - begin) / row_bytes_hint + 2;
+    clips->reserve(est);
+    values->reserve(est * dim);
+  }
   const char* p = begin;
   while (p < end) {
     const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
@@ -55,14 +243,12 @@ void parse_rows(const char* begin, const char* end, int64_t dim,
       clips->push_back(clip);
       const char* q = next + 1;
       for (int64_t i = 0; i < dim; ++i) {
-        char* after = nullptr;
-        double v = strtod(q, &after);
-        if (after == q || after > line_end) {
+        double v;
+        if (!parse_value(&q, line_end, &v)) {
           *ok = false;
           return;
         }
         values->push_back(v);
-        q = after;
         if (q < line_end && *q == ',') {
           ++q;
         } else if (i != dim - 1) {
@@ -152,7 +338,9 @@ Parsed* parse_file(const char* path, int n_threads) {
   for (int t = 0; t < n_threads; ++t) {
     threads.emplace_back([&, t] {
       bool ok = true;
-      parse_rows(starts[t], starts[t + 1], dim, &tclips[t], &tvals[t], &ok);
+      parse_rows(starts[t], starts[t + 1], dim,
+                 static_cast<int64_t>(first_end - first) + 1, &tclips[t],
+                 &tvals[t], &ok);
       oks[t] = ok ? 1 : 0;
     });
   }

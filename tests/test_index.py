@@ -152,3 +152,55 @@ def test_binary_shard_query_equivalence(tmp_path, rng):
     assert s1.keys() == s2.keys()
     for c in s1:
         np.testing.assert_allclose(s1[c], s2[c], rtol=1e-6)
+
+
+def test_native_parser_bit_parity(tmp_path, rng):
+    """The native CSV parser (native/vqio.cc) must be BIT-identical to
+    Python float() on every value — its Eisel-Lemire fast path certifies
+    correct rounding or defers to strtod, so any divergence is a bug, not a
+    tolerance question (PARITY.md 'Exact'). Covers shortest-repr doubles
+    across the full exponent range, 17-digit mantissas (beyond the 2^53
+    Clinger fast path), halfway-rounding literals, subnormals, and
+    long-digit strings that overflow the 19-digit accumulator."""
+    native = pytest.importorskip("videoquery.index._native_csv")
+
+    magnitudes = rng.normal(size=200) * np.power(
+        10.0, rng.integers(-300, 300, size=200).astype(np.float64))
+    adversarial = [
+        0.0, -0.0, 1.0, -1.0,
+        5e-324, 2.2250738585072014e-308, 1.7976931348623157e308,
+        float.fromhex("0x1.0000000000001p0"),
+        1.00000000000000011102230246251565404236316680908203125,
+        9007199254740993.0, 9.007199254740993e15, 7.2057594037927933e16,
+        1e22, 1e23, 8e22,
+    ]
+    values = np.concatenate([magnitudes, np.asarray(adversarial)])
+    rows = [(1, values)]
+    path = str(tmp_path / "rgb_global_pool_features.csv")
+    write_features_csv(path, "v", "u/", "rgb", "global_pool", "m", rows)
+
+    parsed = native.parse(path)
+    assert parsed is not None, "native parser declined a normal file"
+    _, clips, feats = parsed
+    with open(path) as f:
+        f.readline()
+        cells = f.readline().rstrip("\n").split(",")
+    py = np.asarray(cells[1:], np.float64)
+    assert np.array_equal(
+        py.view(np.uint64), feats[0].view(np.uint64)
+    ), "native parse diverged from Python float() at the bit level"
+
+    # long-digit strings (> 19 significant digits force the truncated path)
+    long_csv = str(tmp_path / "long.csv")
+    literals = ["123456789012345678901234567890e-35",
+                "0.00000000000000000000000000000000000001",
+                "3.5714285714285714285714285714286e-1",
+                "9999999999999999999999999e-30"]
+    with open(long_csv, "w") as f:
+        f.write("video =v, video url =u/, CNN stream =rgb,"
+                " feature blob =global_pool, caffe model =m\n")
+        f.write("1," + ",".join(literals) + "\n")
+    parsed = native.parse(long_csv)
+    assert parsed is not None
+    want = np.asarray([float(s) for s in literals])
+    assert np.array_equal(want.view(np.uint64), parsed[2][0].view(np.uint64))
