@@ -119,7 +119,7 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
 
 
 def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
-              splits=(1, 2, 3), host_gray: bool = False,
+              splits=(1, 2, 3), host_gray: bool = True,
               sustained_frames: int = 3604
               ) -> tuple[float, float, float]:
     """The honest production number: video FILE -> feature CSVs, wall clock
@@ -375,9 +375,15 @@ def main():
     ap.add_argument("--warm_iters", type=int, default=None,
                     help="override TVL1Params.warm_iters for sweep runs "
                          "(default: production value)")
-    ap.add_argument("--host_gray", action="store_true",
+    ap.add_argument("--host_gray", dest="host_gray", action="store_true",
+                    default=True,
                     help="e2e mode: compact upload (host cv2 gray + tick "
-                         "frames only; ExtractionConfig.host_gray)")
+                         "frames only; ExtractionConfig.host_gray). Default "
+                         "ON: this backend is upload-bound (tunneled chip) "
+                         "and the gate passed at both corpus scales "
+                         "(tools/flow_quality.py --host_gray; TUNING.md)")
+    ap.add_argument("--device_gray", dest="host_gray", action="store_false",
+                    help="e2e mode: full-frame upload + on-device gray")
     args = ap.parse_args()
 
     # One JSON line for the driver; `metrics` carries every named number
