@@ -511,3 +511,54 @@ def test_extract_video_stream_host_gray_matches_batch(tmp_path, tsn,
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(a.flow), np.asarray(b.flow),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_warm_advect_semantics_and_convergence(rng):
+    """flow_warm_advect: (a) the advection window-warp samples the key's
+    flow at the motion-displaced position (trailing region of a moving
+    blob moves with the content); (b) the warm refinement converges to the
+    same flow with or without advection at moderate motion — the measured
+    production-corpus result (max |delta u| 4e-4 px; docs/TUNING.md) that
+    keeps the knob OFF."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videoquery.kernels.tvl1_pallas import window_warp_pallas
+    from videoquery.pipeline.extract import _pair_flow_uv
+    from videoquery.pipeline.sampling import flow_warm_plan
+
+    # (a) advection semantics: blob of u=4 at cols [8:16); u0(x) =
+    # u(x - u(x)) moves the trailing half to [12:16) and zeroes [8:12)
+    h, w = 16, 32
+    u = np.zeros((1, h, w), np.float32)
+    u[:, :, 8:16] = 4.0
+    v = np.zeros_like(u)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(window_warp_pallas(
+            jnp.asarray(u), jnp.asarray(-u), jnp.asarray(-v), d=8))
+    np.testing.assert_allclose(out[0, 8, 12:16], 4.0)
+    np.testing.assert_allclose(out[0, 8, 8:12], 0.0)
+    np.testing.assert_allclose(out[0, 8, 16:24], 0.0)
+
+    # (b) refinement insensitivity to the init shift
+    b, f, hh, ww = 1, 11, 24, 32
+    gray = rng.uniform(0.2, 0.4, (b, f, hh, ww)).astype(np.float32)
+    for t in range(f):
+        x0 = 3 + 2 * t
+        gray[0, t, 8:16, x0:x0 + 6] += 0.5
+    gray_j = jnp.asarray(np.clip(gray, 0, 1))
+    pair_idx = np.arange(f - 1, dtype=np.int32)
+    plan = tuple(jnp.asarray(a) for a in flow_warm_plan(pair_idx, 5))
+    from videoquery.kernels.tvl1 import TVL1Params
+
+    tvl1 = TVL1Params(n_scales=2, n_warps=2, n_iters=8, fine_iters=6)
+    with pltpu.force_tpu_interpret_mode():
+        fn = jax.jit(_pair_flow_uv,
+                     static_argnames=("warped", "tvl1", "warm_camera",
+                                      "warm_advect"))
+        ua, _ = fn(gray_j, jnp.asarray(pair_idx), False, tvl1, plan,
+                   warm_advect=8)
+        up, _ = fn(gray_j, jnp.asarray(pair_idx), False, tvl1, plan,
+                   warm_advect=0)
+    assert np.isfinite(np.asarray(ua)).all()
+    assert float(jnp.abs(ua - up).max()) < 0.2

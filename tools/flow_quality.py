@@ -162,7 +162,7 @@ def truth_residual_flow(meta, t, h, w):
 
 def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
                    warm_group=0, warm_camera="own", gray_matmul=False,
-                   host_gray=""):
+                   host_gray="", warm_advect=0):
     """Mean/percentile endpoint error of a flow config against the corpus's
     known residual-motion fields, reproducing the production flow geometry
     (grayscale, lane-aligned reduced grid, value rescale — extract.py's
@@ -206,9 +206,10 @@ def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
             if wp.size:
                 plan = (jnp.asarray(kp), jnp.asarray(wp), jnp.asarray(ws))
         u, v = jax.jit(_pair_flow_uv,
-                       static_argnames=("warped", "tvl1", "warm_camera"))(
+                       static_argnames=("warped", "tvl1", "warm_camera",
+                                        "warm_advect"))(
             g, jnp.asarray(pair_idx), True, tvl1, plan,
-            warm_camera=warm_camera)
+            warm_camera=warm_camera, warm_advect=warm_advect)
         u = u.reshape(c * (f - 1), fh, fw)
         v = v.reshape(c * (f - 1), fh, fw)
     else:
@@ -264,7 +265,8 @@ def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
 
 
 def extract(clips, flow_impl, tvl1, flow_res_div, tsn, warm_group=0,
-            warm_camera="own", gray_matmul=False, host_gray=""):
+            warm_camera="own", gray_matmul=False, host_gray="",
+            warm_advect=0):
     import jax.numpy as jnp
 
     from videoquery.pipeline.extract import _extract_step, flow_grid_shape
@@ -301,7 +303,8 @@ def extract(clips, flow_impl, tvl1, flow_res_div, tsn, warm_group=0,
         tsn.rgb.stacked_params, tsn.flow.stacked_params,
         jnp.asarray(frames_in), ticks, sidx, 20.0, True, tvl1,
         (340, 256), 224, "float32", flow_impl, flow_res_div,
-        flow_warm_camera=warm_camera, flow_gray_matmul=gray_matmul, **kw,
+        flow_warm_camera=warm_camera, flow_warm_advect=warm_advect,
+        flow_gray_matmul=gray_matmul, **kw,
     )
     return np.asarray(rgb, np.float64), np.asarray(flow, np.float64)
 
@@ -398,14 +401,20 @@ def main():
             "prod sched div4": ("pallas", prod, 4),
         }
     if args.warm:
-        # 4th field = warm_group, 5th = warm_camera; the gate is
-        # warm == cold on EPE (incl. the jitter class) + retrieval
+        # 4th field = warm_group, 5th = warm_camera, 8th = warm_advect
+        # (window size; group//2 * 8 covers the advection displacement);
+        # the gate is warm == cold on EPE (incl. the jitter class) +
+        # retrieval
         configs = {
             "prod cold (reference)": ("pallas", PRODUCTION_TVL1, 2),
             "prod warm group5": ("pallas", PRODUCTION_TVL1, 2, 5),
             "prod warm group3": ("pallas", PRODUCTION_TVL1, 2, 3),
             "prod warm g3 cam=key": ("pallas", PRODUCTION_TVL1, 2, 3, "key"),
             "prod warm g5 cam=key": ("pallas", PRODUCTION_TVL1, 2, 5, "key"),
+            "prod warm g5 key advect": (
+                "pallas", PRODUCTION_TVL1, 2, 5, "key", False, "", 16),
+            "prod warm g7 key advect": (
+                "pallas", PRODUCTION_TVL1, 2, 7, "key", False, "", 24),
         }
     if args.gray:
         # 6th field = gray_matmul; gate is graymm == exact on EPE +
@@ -467,9 +476,11 @@ def main():
             wc = cfg[4] if len(cfg) > 4 else "own"
             gm = cfg[5] if len(cfg) > 5 else False
             hg = cfg[6] if len(cfg) > 6 else ""
+            wa = cfg[7] if len(cfg) > 7 else 0
             t0 = time.time()
             rgb, flow = extract(clips, impl, tvl1, div, tsn, warm_group=wg,
-                                warm_camera=wc, gray_matmul=gm, host_gray=hg)
+                                warm_camera=wc, gray_matmul=gm, host_gray=hg,
+                                warm_advect=wa)
             if seed == args.seeds[0]:
                 results[name] = (rgb, flow)
             acc = partner_accuracy(flow, labels)
@@ -479,7 +490,8 @@ def main():
             if not args.no_epe:
                 e = epe_for_config(clips, truths, impl, tvl1, div,
                                    warm_group=wg, warm_camera=wc,
-                                   gray_matmul=gm, host_gray=hg)
+                                   gray_matmul=gm, host_gray=hg,
+                                   warm_advect=wa)
                 epes[name].append(e)
                 line += (f"  EPE mean {e['epe_mean']:.3f} p90 "
                          f"{e['epe_p90']:.3f} obj {e['epe_obj']:.3f} "

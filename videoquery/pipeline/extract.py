@@ -120,7 +120,7 @@ def warm_tvl1_params(tvl1: TVL1Params) -> TVL1Params:
 
 def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
                   tvl1: TVL1Params, warm_plan=None,
-                  warm_camera: str = "own"
+                  warm_camera: str = "own", warm_advect: int = 0
                   ) -> tuple[jax.Array, jax.Array]:
     """Raw (u, v) flow for the selected frame pairs, each f32 [B, P, h, w]
     in flow-grid pixels (always the Pallas path — this branch exists for
@@ -131,7 +131,16 @@ def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
     the rest refine their nearest key's flow at the finest level only —
     both phases stay fully batched. warm_camera="key" additionally reuses
     the keyframe pair's camera affine for its warm neighbors (skips their
-    translation+LK estimation; gate on the jitter-class EPE)."""
+    translation+LK estimation; gate on the jitter-class EPE).
+
+    warm_advect > 0 ADVECTS the warm initialization: a warm pair j frames
+    from its key samples the key's flow at the position the scene content
+    came FROM — u0(x) = u_key(x - j*u_key(x)) (one semi-Lagrangian step,
+    realized as a window warp with displacement window +-warm_advect).
+    Without it, a fast-moving object's flow blob sits j*|flow| pixels away
+    from where the warm pair's refinement needs it, which is what limited
+    the warm group to 3 (TUNING.md group-5 re-gate). warm_advect must be
+    >= max|j| * max_disp (group//2 * 8 at the production schedule)."""
     from videoquery.kernels.tvl1_pallas import (
         tvl1_flow_pallas,
         tvl1_flow_pallas_warm,
@@ -168,6 +177,23 @@ def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
     vk = vk.reshape(b, k, h, w)
     u0 = jnp.take(uk, warm_src, axis=1).reshape(b * m, h, w)
     v0 = jnp.take(vk, warm_src, axis=1).reshape(b * m, h, w)
+    if warm_advect:
+        from videoquery.kernels.tvl1_pallas import window_warp_pallas
+
+        # signed frame distance warm pair -> key; [b*m] in b-major order to
+        # match the reshape above (flatten of [b, m] repeats the m-pattern
+        # per batch element)
+        j = (jnp.take(pair_idx, warm_pos)
+             - jnp.take(pair_idx, key_pos)[warm_src]).astype(jnp.float32)
+        jb = jnp.tile(j, b)[:, None, None]
+        du = -jb * u0
+        dv = -jb * v0
+        warped_uv = window_warp_pallas(
+            jnp.concatenate([u0, v0], axis=0),
+            jnp.concatenate([du, du], axis=0),
+            jnp.concatenate([dv, dv], axis=0), d=warm_advect)
+        u0 = warped_uv[:b * m]
+        v0 = warped_uv[b * m:]
     i0w = jnp.take(i0, warm_pos, axis=1).reshape(b * m, h, w)
     i1w = jnp.take(i1, warm_pos, axis=1).reshape(b * m, h, w)
     if warped:
@@ -187,12 +213,13 @@ def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
 def _pair_flow(gray: jax.Array, pair_idx: jax.Array, bound: float,
                warped: bool, tvl1: TVL1Params,
                value_scale: tuple[float, float],
-               warm_plan=None, warm_camera: str = "own") -> jax.Array:
+               warm_plan=None, warm_camera: str = "own",
+               warm_advect: int = 0) -> jax.Array:
     """Quantized flow for the selected frame pairs: u8 [B, P, h, w, 2].
     value_scale = (sx, sy) converts flow values back to native pixels (the
     flow grid may be anisotropically scaled)."""
     u, v = _pair_flow_uv(gray, pair_idx, warped, tvl1, warm_plan,
-                         warm_camera)
+                         warm_camera, warm_advect)
     uv = jnp.stack([u * value_scale[0], v * value_scale[1]], axis=-1)
     return quantize_flow(uv, bound)
 
@@ -289,7 +316,8 @@ def _flow_gray_grid(frames_u8: jax.Array, flow_res_div: int,
     jax.jit,
     static_argnames=("bound", "warped", "tvl1", "cfg_resize", "cfg_crop",
                      "dtype_str", "flow_impl", "flow_res_div", "mesh",
-                     "flow_warm_camera", "flow_gray_matmul"),
+                     "flow_warm_camera", "flow_warm_advect",
+                     "flow_gray_matmul"),
 )
 def _extract_step(
     rgb_params,
@@ -312,6 +340,9 @@ def _extract_step(
                           # sampling.flow_warm_plan (temporal warm start)
     flow_warm_camera: str = "own",  # "key" reuses the keyframe's camera
                                     # affine for warm pairs (gated)
+    flow_warm_advect: int = 0,  # >0: advect the warm init by the scene's
+                                # own motion (window size; see
+                                # _pair_flow_uv.warm_advect)
     flow_gray_matmul: bool = True,  # fold gray into the flow-grid resize
                                     # as bf16 matmuls (EPE-gated)
     gray_u8: jax.Array | None = None,  # u8 [B, F, fh, fw] host-computed
@@ -347,7 +378,8 @@ def _extract_step(
         # stack_idx then holds positions into flow_pair_idx
         flow_q = _pair_flow(gray, flow_pair_idx, bound, warped, tvl1,
                             vscale, flow_warm_plan,
-                            flow_warm_camera)        # u8 [B,P,fh,fw,2]
+                            flow_warm_camera,
+                            flow_warm_advect)        # u8 [B,P,fh,fw,2]
     else:
         flow_q = _clip_flow(gray, bound, warped, tvl1, flow_impl,
                             vscale)               # u8 [B,F,fh,fw,2]
