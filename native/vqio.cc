@@ -135,70 +135,69 @@ inline bool parse_value(const char** pp, const char* line_end, double* out) {
       ++p;
     }
   }
-  if (!any) {
-    // inf/nan/hex or garbage: let strtod decide (it needs a NUL-terminated
-    // buffer, which parse_file guarantees).
-    char* after = nullptr;
-    double v = strtod(start, &after);
-    if (after == start || after > line_end) return false;
-    *out = v;
-    *pp = after;
-    return true;
-  }
-  if (p < line_end && (*p == 'e' || *p == 'E')) {
-    const char* ep = p + 1;
-    bool eneg = false;
-    if (ep < line_end && (*ep == '-' || *ep == '+')) {
-      eneg = (*ep == '-');
-      ++ep;
-    }
-    if (ep < line_end && *ep >= '0' && *ep <= '9') {
-      int64_t e = 0;
-      while (ep < line_end && *ep >= '0' && *ep <= '9') {
-        if (e < 10000) e = e * 10 + (*ep - '0');
+  // hex floats ("0x10", "0x1.8p3"): the decimal scan above consumed the
+  // leading 0 and would mis-stop at 'x'; strtod owns hex syntax. !any
+  // covers inf/nan/garbage — both defer to the shared strtod tail below.
+  bool hexlike = (mant == 0 && !truncated && p < line_end
+                  && (*p == 'x' || *p == 'X'));
+  double v;
+  if (any && !hexlike) {
+    if (p < line_end && (*p == 'e' || *p == 'E')) {
+      const char* ep = p + 1;
+      bool eneg = false;
+      if (ep < line_end && (*ep == '-' || *ep == '+')) {
+        eneg = (*ep == '-');
         ++ep;
       }
-      exp10 += eneg ? -e : e;
-      p = ep;
+      if (ep < line_end && *ep >= '0' && *ep <= '9') {
+        int64_t e = 0;
+        while (ep < line_end && *ep >= '0' && *ep <= '9') {
+          if (e < 10000) e = e * 10 + (*ep - '0');
+          ++ep;
+        }
+        exp10 += eneg ? -e : e;
+        p = ep;
+      }
+      // trailing bare 'e' is not part of the number (strtod semantics)
     }
-    // trailing bare 'e' is not part of the number (strtod semantics)
-  }
-  if (mant == 0) {
-    *out = neg ? -0.0 : 0.0;
-    *pp = p;
-    return true;
-  }
-  double v;
-  if (!truncated) {
-    // Clinger fast path: both mant and 10^|exp10| exactly representable —
-    // one IEEE multiply/divide is correctly rounded.
-    static const double kPow10[] = {1e0,  1e1,  1e2,  1e3,  1e4,  1e5,
-                                    1e6,  1e7,  1e8,  1e9,  1e10, 1e11,
-                                    1e12, 1e13, 1e14, 1e15, 1e16, 1e17,
-                                    1e18, 1e19, 1e20, 1e21, 1e22};
-    if (mant < (1ULL << 53) && exp10 >= -22 && exp10 <= 22) {
-      v = static_cast<double>(mant);
-      v = exp10 < 0 ? v / kPow10[-exp10] : v * kPow10[exp10];
-      *out = neg ? -v : v;
+    if (mant == 0) {
+      *out = neg ? -0.0 : 0.0;
       *pp = p;
       return true;
     }
-    if (eisel_lemire(mant, exp10, &v)) {
-      *out = neg ? -v : v;
-      *pp = p;
-      return true;
-    }
-  } else {
-    // 20+ significant digits: try both truncated and truncated+1 — when
-    // they round to the SAME double the dropped tail cannot matter.
-    double v2;
-    if (eisel_lemire(mant, exp10, &v) && eisel_lemire(mant + 1, exp10, &v2)
-        && v == v2) {
-      *out = neg ? -v : v;
-      *pp = p;
-      return true;
+    if (!truncated) {
+      // Clinger fast path: both mant and 10^|exp10| exactly representable
+      // — one IEEE multiply/divide is correctly rounded.
+      static const double kPow10[] = {1e0,  1e1,  1e2,  1e3,  1e4,  1e5,
+                                      1e6,  1e7,  1e8,  1e9,  1e10, 1e11,
+                                      1e12, 1e13, 1e14, 1e15, 1e16, 1e17,
+                                      1e18, 1e19, 1e20, 1e21, 1e22};
+      if (mant < (1ULL << 53) && exp10 >= -22 && exp10 <= 22) {
+        v = static_cast<double>(mant);
+        v = exp10 < 0 ? v / kPow10[-exp10] : v * kPow10[exp10];
+        *out = neg ? -v : v;
+        *pp = p;
+        return true;
+      }
+      if (eisel_lemire(mant, exp10, &v)) {
+        *out = neg ? -v : v;
+        *pp = p;
+        return true;
+      }
+    } else {
+      // 20+ significant digits: try both truncated and truncated+1 — when
+      // they round to the SAME double the dropped tail cannot matter.
+      double v2;
+      if (eisel_lemire(mant, exp10, &v)
+          && eisel_lemire(mant + 1, exp10, &v2) && v == v2) {
+        *out = neg ? -v : v;
+        *pp = p;
+        return true;
+      }
     }
   }
+  // shared slow path: strtod needs a NUL-terminated buffer, which
+  // parse_file guarantees
   char* after = nullptr;
   v = strtod(start, &after);
   if (after == start || after > line_end) return false;
@@ -225,7 +224,12 @@ void parse_rows(const char* begin, const char* end, int64_t dim,
                 std::vector<double>* values, bool* ok) {
   *ok = true;
   if (row_bytes_hint > 0) {
+    // estimate rows from the first row's byte length, capped by the hard
+    // floor of 2 bytes/value ("0,") so a compact first row cannot
+    // over-reserve multi-GB buffers on files whose later rows are long
     int64_t est = (end - begin) / row_bytes_hint + 2;
+    int64_t cap = (end - begin) / (2 * dim) + 2;
+    est = est < cap ? est : cap;
     clips->reserve(est);
     values->reserve(est * dim);
   }

@@ -190,17 +190,21 @@ def test_native_parser_bit_parity(tmp_path, rng):
         py.view(np.uint64), feats[0].view(np.uint64)
     ), "native parse diverged from Python float() at the bit level"
 
-    # long-digit strings (> 19 significant digits force the truncated path)
+    # long-digit strings (> 19 significant digits force the truncated
+    # path) and hex floats (strtod owns hex syntax — the decimal fast
+    # path must defer, not mis-stop at 'x')
     long_csv = str(tmp_path / "long.csv")
     literals = ["123456789012345678901234567890e-35",
                 "0.00000000000000000000000000000000000001",
                 "3.5714285714285714285714285714286e-1",
-                "9999999999999999999999999e-30"]
+                "9999999999999999999999999e-30",
+                "0x10", "0x1.8p3", "-0X2"]
     with open(long_csv, "w") as f:
         f.write("video =v, video url =u/, CNN stream =rgb,"
                 " feature blob =global_pool, caffe model =m\n")
         f.write("1," + ",".join(literals) + "\n")
     parsed = native.parse(long_csv)
     assert parsed is not None
-    want = np.asarray([float(s) for s in literals])
+    want = np.asarray([float.fromhex(s) if "x" in s.lower() else float(s)
+                       for s in literals])  # strtod semantics incl. hex
     assert np.array_equal(want.view(np.uint64), parsed[2][0].view(np.uint64))
