@@ -41,6 +41,22 @@ namespace {
 // either proves its rounding or declines.
 // ---------------------------------------------------------------------------
 
+// SWAR 8-digit scan (classic public-domain bit tricks): check that all 8
+// bytes of a little-endian load are ASCII digits, and convert them to a
+// number with three multiply-shift reductions instead of 8 scalar steps.
+inline bool eight_digits(uint64_t chunk) {
+  return ((chunk & 0xF0F0F0F0F0F0F0F0ULL)
+          | (((chunk + 0x0606060606060606ULL) & 0xF0F0F0F0F0F0F0F0ULL) >> 4))
+         == 0x3333333333333333ULL;
+}
+
+inline uint32_t parse_eight_digits(uint64_t chunk) {
+  chunk = (chunk & 0x0F0F0F0F0F0F0F0FULL) * 2561 >> 8;
+  chunk = (chunk & 0x00FF00FF00FF00FFULL) * 6553601 >> 16;
+  return static_cast<uint32_t>(
+      (chunk & 0x0000FFFF0000FFFFULL) * 42949672960001ULL >> 32);
+}
+
 // Returns true and writes the correctly-rounded double for w * 10^q
 // (w != 0); returns false when correct rounding cannot be certified.
 inline bool eisel_lemire(uint64_t w, int64_t q, double* out) {
@@ -123,6 +139,22 @@ inline bool parse_value(const char** pp, const char* line_end, double* out) {
   }
   if (p < line_end && *p == '.') {
     ++p;
+    // SWAR: consume 8 fraction digits at a time while they fit in the
+    // 19-significant-digit budget (the scalar loop finishes the tail).
+    // digits may overcount past leading zeros — that only makes the
+    // truncation cutoff conservative, never wrong (truncated values are
+    // certified by double-rounding or fall back to strtod). Loads stay
+    // inside [p, line_end], which parse_file's buffer fully contains.
+    while (line_end - p >= 8 && digits <= 11) {
+      uint64_t chunk;
+      memcpy(&chunk, p, 8);
+      if (!eight_digits(chunk)) break;
+      mant = mant * 100000000ULL + parse_eight_digits(chunk);
+      if (mant) digits += 8;
+      exp10 -= 8;
+      any = true;
+      p += 8;
+    }
     while (p < line_end && *p >= '0' && *p <= '9') {
       any = true;
       if (digits < 19) {
