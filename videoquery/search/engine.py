@@ -21,12 +21,20 @@ from videoquery.search.scoring import ensemble_similarities
 
 _PACK_F32_JIT = None
 
+# Ensemble counts are tiny (<= n_splits, i.e. <= 3 for the reference's
+# UCF101 ensemble), so all streams' counts pack losslessly into ONE f32 row
+# of base-8 digits — the similarity download shrinks from [2S, N] to
+# [S+1, N] (25% less over the tunnel at S=2; 4 MB/round at 1M segments).
+_COUNT_RADIX = 8
+
 
 def _pack_f32(avg, counts):
-    """Stack (avg f32[S,N], counts i32[S,N]) into one f32[2S,N] so the
-    round's result leaves the device in a single transfer.
+    """Stack (avg f32[S,N], counts i32[S,N]) into one f32[S+1,N] so the
+    round's result leaves the device in a single transfer. Row S holds the
+    per-stream counts as base-8 digits (exact: S*3 bits << f32's 24-bit
+    integer range).
 
-    The jitted concat is created once at first use (module-level cache):
+    The jitted pack is created once at first use (module-level cache):
     jit caches by callable identity, so a per-call lambda would re-trace
     every round."""
     global _PACK_F32_JIT
@@ -34,10 +42,22 @@ def _pack_f32(avg, counts):
         import jax
         import jax.numpy as jnp
 
-        _PACK_F32_JIT = jax.jit(
-            lambda a, c: jnp.concatenate([a, c.astype(jnp.float32)], axis=0)
-        )
+        def pack(a, c):
+            s = c.shape[0]
+            scale = _COUNT_RADIX ** jnp.arange(s, dtype=jnp.int32)
+            digits = jnp.sum(c * scale[:, None], axis=0).astype(jnp.float32)
+            return jnp.concatenate([a, digits[None]], axis=0)
+
+        _PACK_F32_JIT = jax.jit(pack)
     return _PACK_F32_JIT(avg, counts)
+
+
+def _unpack_counts(digits: np.ndarray, s: int) -> np.ndarray:
+    """Invert _pack_f32's count row: f32[N] -> i32[S, N]."""
+    d = np.rint(digits).astype(np.int64)
+    return np.stack(
+        [(d // _COUNT_RADIX ** si) % _COUNT_RADIX for si in range(s)]
+    ).astype(np.int32)
 
 
 class SimilarityTable:
@@ -81,11 +101,11 @@ class SimilarityTable:
         valid = (self.counts[:, :n] > 0).all(axis=0)
         dev = w[:, None] * (1.0 - avg)
         sc = 1.0 - np.sqrt((dev * dev).sum(axis=0) / (w * w).sum())
-        return {
-            int(self.index.clip_ids[i]): float(sc[i])
-            for i in range(n)
-            if valid[i]
-        }
+        # dict(zip(...tolist())) builds the same ascending-clip-id dict ~6x
+        # faster than a per-element Python loop (measured 96 -> 15 ms at
+        # 100k clips — it was a visible slice of the revise round)
+        ids = np.asarray(self.index.clip_ids[:n])[valid]
+        return dict(zip(ids.tolist(), sc[valid].tolist()))
 
     def optimize(
         self, reviewed_labels: Mapping[int, float], hp: HyperParams
@@ -140,12 +160,17 @@ class SearchEngine:
         avg, counts = ensemble_similarities(
             targets, tmask, self.index.feats, self.index.mask
         )
-        # ONE download: counts are tiny ints (<= n_splits), exact in f32;
-        # a second device->host transfer costs ~1 s latency tunneled
-        packed = np.asarray(_pack_f32(avg, counts))
+        # ONE download: counts are tiny ints (<= n_splits), packed exactly
+        # into one extra f32 row; a second device->host transfer costs
+        # ~25 ms-1 s latency tunneled
         s = avg.shape[0]
-        return SimilarityTable(self.index, packed[:s],
-                               packed[s:].astype(np.int32))
+        if len(self.index.splits) < _COUNT_RADIX and 3 * s <= 24:
+            packed = np.asarray(_pack_f32(avg, counts))
+            return SimilarityTable(self.index, packed[:s],
+                                   _unpack_counts(packed[s], s))
+        # ensembles too wide for digit packing (never the reference shape)
+        return SimilarityTable(self.index, np.asarray(avg),
+                               np.asarray(counts))
 
     def _compute_similarities_host(self, target) -> SimilarityTable:
         targets, tmask = self.index.target_arrays_host(target)

@@ -4,8 +4,11 @@ The reference runs a 40x30 (weight, threshold) grid search where each of the
 1200 loss evaluations re-scores the reviewed clips in a Python loop
 (hyperparameter.py:29-76), then refines the grid minimum with a closed-form
 2-D parabola fit on the 5-point stencil (hyperparameter.py:78-114). Here the
-entire grid is one vectorized [W, T] computation (one jit call); the tiny
-5-point parabola fit runs host-side in float64 for numerical parity.
+entire grid is one vectorized [W, T] computation. The grid only ever covers
+the REVIEWED clips (M <= a few hundred), so optimize_weights evaluates it
+host-side in float64 — bit-identical to exact mode, and free of the
+35-400 ms per-round device dispatch latency a tunneled chip charges. The
+jitted grid_losses stays for device-resident sims (fused round programs).
 
 Loss (SURVEY.md Appendix B, reference hyperparameter.py:52-65):
 
@@ -151,41 +154,27 @@ def optimize_weights(
 ) -> GridResult:
     """Grid search + parabolic refinement. Returns the new (weight, threshold)
     with threshold already buffered by -eps (reference hyperparameter.py:75).
+
+    `exact` is accepted for API stability but ignored: both numerics modes
+    share the float64 host grid (the reviewed axis is tiny; see module doc).
     """
     if avg_sim_reviewed.shape[0] != 2:
         raise ValueError("the weight sweep pins stream 0 and sweeps stream 1; "
                          f"got {avg_sim_reviewed.shape[0]} streams")
     if labels.size == 0:
         raise ValueError("cannot optimize with zero reviewed matches")
-    if exact:
-        losses = _grid_losses_host_f64(
-            avg_sim_reviewed, np.asarray(labels, np.float64),
-            weight_grid, threshold_grid, ballast,
-        )
-    else:
-        # bucket-pad the reviewed axis (next multiple of 8) so round-to-round
-        # M changes reuse the compiled program; padding is masked out
-        m = int(labels.size)
-        mp = -(-m // 8) * 8
-        sim_p = np.zeros((2, mp), np.float32)
-        sim_p[:, :m] = avg_sim_reviewed
-        lab_p = np.zeros(mp, np.float32)
-        lab_p[:m] = labels
-        mask = np.zeros(mp, np.float32)
-        mask[:m] = 1.0
-        # one packed f32 upload instead of five: each host->device transfer
-        # pays ~1 s latency on tunneled backends (core/transfer.py), and
-        # this runs once per broker round
-        from videoquery.core.transfer import device_put_tree
-
-        sim_d, lab_d, wg_d, tg_d, mask_d = device_put_tree((
-            sim_p, lab_p, np.asarray(weight_grid, np.float32),
-            np.asarray(threshold_grid, np.float32), mask))
-        losses = np.asarray(
-            grid_losses(sim_d, lab_d, wg_d, tg_d, jnp.float32(ballast),
-                        mask_d),
-            dtype=np.float64,
-        )
+    # The grid is [40 weights x 30 thresholds x M reviewed clips] with M at
+    # most a few hundred — ~50 us of host numpy. Routing it through the
+    # device cost 35-400 ms of pure dispatch/transfer latency per revise
+    # round over a tunneled chip (and computed in f32); host float64 makes
+    # the fast path's optimizer bit-identical to exact mode. grid_losses
+    # (the jitted variant) remains for device-resident callers that already
+    # hold sims on device.
+    del exact  # both modes now share the float64 host grid
+    losses = _grid_losses_host_f64(
+        avg_sim_reviewed, np.asarray(labels, np.float64),
+        weight_grid, threshold_grid, ballast,
+    )
     iw, it = np.unravel_index(np.argmin(losses), losses.shape)
     on_border = (
         iw == 0 or it == 0
