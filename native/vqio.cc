@@ -15,6 +15,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <fcntl.h>
+#include <locale.h>
 #include <string>
 #include <sys/mman.h>
 #include <sys/stat.h>
@@ -25,6 +26,16 @@
 #include "vqio_pow5.h"
 
 namespace {
+
+// The slow path must parse with C-locale numerics regardless of the host
+// process's LC_NUMERIC (an embedding GUI app may setlocale to a
+// comma-decimal locale): plain strtod would then disagree with both the
+// fast path above it and Python float(), which is always C-semantics.
+inline double strtod_c(const char* s, char** end) {
+  static locale_t c_loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+  if (c_loc) return strtod_l(s, end, c_loc);
+  return strtod(s, end);  // newlocale failed (OOM): best effort
+}
 
 // ---------------------------------------------------------------------------
 // Correctly-rounded decimal -> double (Eisel-Lemire), with strtod fallback.
@@ -229,9 +240,9 @@ inline bool parse_value(const char** pp, const char* line_end, double* out) {
     }
   }
   // shared slow path: strtod needs a NUL-terminated buffer, which
-  // parse_file guarantees
+  // parse_file guarantees; forced C locale (see strtod_c)
   char* after = nullptr;
-  v = strtod(start, &after);
+  v = strtod_c(start, &after);
   if (after == start || after > line_end) return false;
   *out = v;
   *pp = after;

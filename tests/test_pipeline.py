@@ -347,6 +347,66 @@ def test_extract_video_stream_matches_batch(tmp_path, tsn, small_cfg):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_extract_video_stream_underreported_count_regroups(
+        tmp_path, tsn, small_cfg):
+    """A container that UNDER-reports its frame count (VFR duration*fps
+    estimates) grows the full-clip list at replan time; the replan must
+    dispatch only the undone clips. The old whole-group skip re-dispatched
+    a group straddling the done/undone boundary — duplicating done clips
+    and np.stack-ing over frames the streaming loop had already freed."""
+    path = str(tmp_path / "s.mp4")
+    # 36 frames -> 35 usable: 3 full 10-frame clips + 5-frame (>=1 s) tail
+    decode.synthesize_video(path, n_frames=36, size=(96, 64), fps=5)
+    ex = Extractor(tsn, small_cfg, warped=False,
+                   tvl1=TVL1Params(n_scales=2, n_warps=1, n_iters=4))
+    want = ex.extract_video(path)
+
+    import videoquery.pipeline.extract as extract_mod
+    orig = extract_mod.decode.probe_frame_count
+    # report 16 -> usable 15: the streamed plan sees ONE full clip (a short
+    # chunk at batch_clips=2), so the replan's first full group [c1, c2]
+    # straddles the done boundary
+    extract_mod.decode.probe_frame_count = lambda p: 16
+    try:
+        got = ex.extract_video_stream(path)
+    finally:
+        extract_mod.decode.probe_frame_count = orig
+    got_nums = [n for s in got for n in s.clip_numbers]
+    assert sorted(got_nums) == [1, 2, 3, 4]  # every clip exactly once
+    want_by_num = {n: np.asarray(s.rgb)[:, i]
+                   for s in want for i, n in enumerate(s.clip_numbers)}
+    for s in got:
+        for i, n in enumerate(s.clip_numbers):
+            np.testing.assert_allclose(np.asarray(s.rgb)[:, i],
+                                       want_by_num[n], rtol=1e-5, atol=1e-6)
+
+
+def test_extract_video_stream_backpressure_window(tmp_path, tsn, small_cfg):
+    """With the minimum stream window (2 batches) the producer must block
+    and resume across many batches without deadlocking, and signatures must
+    match load-then-extract (liveness + correctness of the
+    window/drain handshake)."""
+    import dataclasses as dc
+
+    path = str(tmp_path / "s.mp4")
+    # 101 frames -> 100 usable: 10 full clips = 5 batches of 2
+    decode.synthesize_video(path, n_frames=101, size=(96, 64), fps=5)
+    cfg = dc.replace(small_cfg, stream_window_batches=2)
+    ex = Extractor(tsn, cfg, warped=False,
+                   tvl1=TVL1Params(n_scales=2, n_warps=1, n_iters=4))
+    want = ex.extract_video(path)
+    got = ex.extract_video_stream(path)
+    assert [s.clip_numbers for s in got] == [s.clip_numbers for s in want]
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_extraction_config_validates_flow_warm_camera():
+    with pytest.raises(ValueError, match="flow_warm_camera"):
+        ExtractionConfig(flow_warm_camera="keyframe")
+
+
 def test_flow_gray_grid_matmul_matches_exact(rng):
     """The matmul-folded gray+flow-grid resize (production,
     ExtractionConfig.flow_gray_matmul) must equal the exact f32

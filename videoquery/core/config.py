@@ -205,6 +205,21 @@ class ExtractionConfig:
     # pays off upload-bound (the device-gray path is exact f32); bench.py's
     # e2e mode enables it on the tunneled chip.
     host_gray: bool = False
+    # Streaming decode backpressure: the producer thread may run at most
+    # this many clip batches ahead of the device before blocking — this is
+    # what makes extract_video_stream's memory constant in video length
+    # (a fast decoder against a slow/tunneled device otherwise buffers the
+    # whole video). Minimum effective value is 2 (one batch in flight + one
+    # decoding) so producer and consumer can never deadlock.
+    stream_window_batches: int = 3
+
+    def __post_init__(self):
+        if self.flow_warm_camera not in ("key", "own"):
+            # silently treating a typo ("Key", "keyframe") as "own" would
+            # quietly drop the ~45% TV-L1 saving the knob documents
+            raise ValueError(
+                f"flow_warm_camera must be 'key' or 'own'; "
+                f"got {self.flow_warm_camera!r}")
 
     @property
     def frames_per_clip(self) -> int:

@@ -548,11 +548,21 @@ class Extractor:
         usable = total - 1  # first decoded frame skipped (decode.py parity)
         got = threading.Condition()
         frames: list[np.ndarray | None] = []
-        state = {"err": None, "done": False}
+        state = {"err": None, "done": False, "freed": 0, "drain": False}
         # host_gray: grayscale is computed per frame IN the producer — cv2
         # releases the GIL, so on 2+ core hosts gray overlaps the main
         # thread's uploads/dispatch instead of sitting on the critical path
         grays: list[np.ndarray] | None = [] if self.cfg.host_gray else None
+        # backpressure window: without it a fast decoder outruns a slow
+        # device (tunneled chips upload one batch in seconds) and the frame
+        # list grows toward the whole video — the constant-memory claim
+        # only holds if the producer BLOCKS once it is a few batches ahead.
+        # The window is always >= 2 full batches while the consumer frees
+        # at most one batch behind its `need`, so neither side can deadlock;
+        # "drain" lifts the limit once the consumer stops freeing (tail
+        # replan) so t.join() cannot hang on a blocked producer.
+        window = max(2, self.cfg.stream_window_batches) \
+            * self.cfg.batch_clips * self.cfg.frames_per_clip
 
         def producer():
             try:
@@ -564,6 +574,9 @@ class Extractor:
                                                    self.flow_res_div)
                         g = decode.gray_flow_grid(f[None], *grid)[0]
                     with got:
+                        got.wait_for(
+                            lambda: state["drain"]
+                            or len(frames) - state["freed"] < window)
                         frames.append(f)
                         if grays is not None:
                             grays.append(g)
@@ -602,29 +615,48 @@ class Extractor:
             # release everything this batch consumed: later groups only
             # touch frame indices >= need (clip ranges are disjoint and
             # monotonic, flow pairs never cross a clip boundary)
-            for j in range(freed, need):
-                frames[j] = None
-                if grays is not None:
-                    grays[j] = None
-            freed = need
+            with got:
+                for j in range(freed, need):
+                    frames[j] = None
+                    if grays is not None:
+                        grays[j] = None
+                freed = state["freed"] = need
+                got.notify_all()
+        with got:
+            # the consumer frees nothing past this point; lift the window
+            # so a still-decoding producer cannot block forever under join
+            state["drain"] = True
+            got.notify_all()
         t.join()
         if state["err"] is not None:
             # a decode failure must never silently truncate a video's
             # feature set — extract_video propagates too (parity)
             raise state["err"]
-        # replan on the actual decoded count: emits the tail clip and any
-        # full groups the estimate missed (full-group boundaries are
-        # identical across totals, so emitted work never changes meaning)
+        # Replan on the actual decoded count: emits the tail clip and any
+        # full clips the container estimate missed. Clip BOUNDARIES are
+        # count-independent (clip i always spans frames [i*fpc, (i+1)*fpc)),
+        # but batch GROUPING is not: when `actual` yields more full clips
+        # than `usable` did, _plan_groups(actual) re-chunks them into
+        # batches that can straddle the done/undone boundary — re-dispatching
+        # such a group would duplicate done clips AND touch frames the
+        # streaming loop already freed. Regroup only the undone clips
+        # (their frames all sit at indices >= freed: done clips are a
+        # prefix of the full-clip list).
         actual = len(frames)
         if actual == 0:
             raise IOError(f"no frames decoded from {path!r}")
         if actual < usable:
             log.warning("%s: decoded %d < reported %d frames", path, actual,
                         usable)
-        for group, nums in self._plan_groups(actual):
-            if all(n in done_clips for n in nums):
-                continue
-            sigs.append(self._signature_batch(frames, grays, group, nums))
+        remaining = [(r, n) for group, nums in self._plan_groups(actual)
+                     for r, n in zip(group, nums) if n not in done_clips]
+        full = [(r, n) for r, n in remaining if r[1] - r[0] + 1 == fpc]
+        tails = [(r, n) for r, n in remaining if r[1] - r[0] + 1 != fpc]
+        bsz = self.cfg.batch_clips
+        for batch in ([full[i:i + bsz] for i in range(0, len(full), bsz)]
+                      + [[tl] for tl in tails]):
+            sigs.append(self._signature_batch(
+                frames, grays, [r for r, _ in batch], [n for _, n in batch]))
         sigs.sort(key=lambda s: s.clip_numbers[0])
         return gather_signatures(sigs)
 
