@@ -298,17 +298,24 @@ def bench_ingest(n_videos: int = 50, clips_per_video: int = 100,
 
 
 def bench_round(n_segments: int = 100_000, n_reviewed: int = 20,
-                repeats: int = 5) -> float:
+                repeats: int = 5, dtype: str = "float32",
+                resident: bool | None = None) -> float:
     """One full revise round (BASELINE config 4): similarity over the search
     set + 40x30 grid optimization + rescoring + seeded selection. The
     reference does this as Python loops (~40 rescoring passes over every
-    clip per round, SURVEY.md §3.1 hot loops)."""
+    clip per round, SURVEY.md §3.1 hot loops).
+
+    resident=None picks what process_job picks: the device-resident banded
+    round (engine.ResidentTable) at/above SearchConfig.big_round_threshold,
+    the one-shot full-table download below. dtype="bfloat16" halves index
+    HBM (12.3 GB at 1M segments) — the similarity einsum still accumulates
+    f32."""
     import random as pyrandom
 
     import jax
     import jax.numpy as jnp
 
-    from videoquery.core.config import HyperParams
+    from videoquery.core.config import HyperParams, SearchConfig
     from videoquery.index.store import FeatureIndex
     from videoquery.search.engine import SearchEngine
     from videoquery.search.selection import select_clips_to_review
@@ -316,10 +323,16 @@ def bench_round(n_segments: int = 100_000, n_reviewed: int = 20,
     rng = np.random.default_rng(0)
     hp = HyperParams()
     streams, splits, d = hp.streams, (1, 2, 3), 1024
+    if resident is None:
+        resident = n_segments >= SearchConfig().big_round_threshold
 
-    log(f"[round] building {n_segments}-segment search set on device")
-    idx_feats = jax.jit(lambda: jax.random.normal(
-        jax.random.PRNGKey(0), (2, 3, n_segments, d), jnp.float32) * 0.03)()
+    log(f"[round] building {n_segments}-segment search set on device "
+        f"({dtype}, {'resident banded' if resident else 'full download'} "
+        f"round)")
+    dt = jnp.dtype(dtype)
+    idx_feats = jax.jit(lambda: (jax.random.normal(
+        jax.random.PRNGKey(0), (2, 3, n_segments, d), jnp.float32) * 0.03
+    ).astype(dt))()
     index = FeatureIndex.__new__(FeatureIndex)
     index.clip_ids = np.arange(1, n_segments + 1, dtype=np.int64)
     index.feats = idx_feats
@@ -339,9 +352,17 @@ def bench_round(n_segments: int = 100_000, n_reviewed: int = 20,
     labels = {int(c): float(rng.integers(0, 2)) for c in reviewed_ids}
 
     def one_round():
-        table = engine.compute_similarities(target)
-        hp_round, _ = table.optimize(labels, hp)
-        scores = table.scores(hp_round.weights)
+        if resident:
+            rt = engine.compute_similarities_resident(target)
+            hp_round, _ = rt.optimize(labels, hp)
+            scores = rt.round_scores(hp_round.weights, hp_round.threshold,
+                                     hp.near_miss_default, keep_ids=[1])
+            if scores is None:  # band overflow: full-table fallback
+                scores = rt.to_table().scores(hp_round.weights)
+        else:
+            table = engine.compute_similarities(target)
+            hp_round, _ = table.optimize(labels, hp)
+            scores = table.scores(hp_round.weights)
         return select_clips_to_review(scores, {}, 1, hp_round.threshold, 20,
                                       hp.near_miss_default,
                                       rng=pyrandom.Random(42))
@@ -440,6 +461,12 @@ def main():
             free_hbm()
         r50 = bench_round()
         metrics["revise_round_p50_ms_100k_segments"] = round(r50, 1)
+        # the big-corpus flavor: 1M segments, bf16 index (12.3 GB HBM),
+        # device-resident banded round — only candidates cross the wire
+        free_hbm()
+        r50_big = bench_round(n_segments=1_000_000, dtype="bfloat16",
+                              resident=True)
+        metrics["revise_round_p50_ms_1m_segments_resident"] = round(r50_big, 1)
         if args.mode == "round":
             return emit("revise_round_p50_over_100k_segments",
                         round(r50, 1), "ms", round(5000.0 / r50, 3))

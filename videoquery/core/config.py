@@ -134,6 +134,12 @@ class SearchConfig:
     similarity_dtype: str = "float32"  # accumulation is always f32
     # Pad the clip axis to a multiple of this for MXU/VPU-friendly tiling.
     clip_pad_multiple: int = 512
+    # Search sets at or above this many (padded) clips use the
+    # device-resident round (engine.ResidentTable): the similarity table
+    # never downloads wholesale — the optimizer gathers the reviewed rows
+    # and selection fetches only the banded candidates. Below it, the
+    # one-shot full-table download is simpler and just as fast.
+    big_round_threshold: int = 200_000
 
 
 @dataclasses.dataclass(frozen=True)

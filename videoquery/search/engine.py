@@ -5,18 +5,36 @@ reference is thousands of Python-level np.dot calls plus a 1200-evaluation
 grid loop (ticket.py:120-180, hyperparameter.py:52-76); here it is two jitted
 XLA programs (similarity einsum; loss-grid) regardless of search-set size,
 sharded over the "data" mesh axis when the index is.
+
+Two round flavors:
+
+- SimilarityTable (compute_similarities): downloads the whole [S+1, N]
+  similarity table once and finishes the round host-side in float64 — the
+  default for broker-scale search sets.
+- ResidentTable (compute_similarities_resident): the big-corpus path. The
+  table never leaves the device wholesale; the optimizer gathers only the
+  reviewed rows and selection downloads only the BANDED candidates
+  (matches + near-misses + kept clips), so a 1M-segment revise round moves
+  kilobytes instead of the 12 MB table. Selection results are IDENTICAL to
+  the full path: the device band is widened by a margin exceeding any
+  f32-vs-f64 score discrepancy and select_clips_to_review re-applies the
+  exact float64 band itself.
 """
 
 from __future__ import annotations
 
-from typing import Mapping
+import functools
+from typing import Mapping, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from videoquery.core.config import HyperParams, compute_eps
 from videoquery.index.store import FeatureIndex
 from videoquery.search.optimizer import GridResult, optimize_weights
-from videoquery.search.scoring import ensemble_similarities
+from videoquery.search.scoring import (ensemble_similarities,
+                                       scores_from_similarities)
 
 
 _PACK_F32_JIT = None
@@ -58,6 +76,79 @@ def _unpack_counts(digits: np.ndarray, s: int) -> np.ndarray:
     return np.stack(
         [(d // _COUNT_RADIX ** si) % _COUNT_RADIX for si in range(s)]
     ).astype(np.int32)
+
+
+# Device-band widening for the big-corpus candidate download. The device
+# evaluates scores and the near-miss bound in f32 while selection re-applies
+# them in f64; both discrepancies are bounded by a few f32 ulps of values
+# <= 1 (~1e-6 after the finalize bound's arithmetic), so a 1e-5 margin
+# guarantees the downloaded candidate set is a superset of the exact band.
+_BAND_MARGIN = 1e-5
+
+
+@jax.jit
+def _gather_sim_rows(avg, pos):
+    """avg f32[S, N], pos i32[M] -> f32[S, M] (reviewed-clip similarities)."""
+    return jnp.take(avg, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "finalize"))
+def _banded_candidates(avg, counts, weights, threshold, near_miss, eps,
+                       keep_pos, um_pos, um_mask, cap: int, finalize: bool):
+    """One packed f32 download holding everything selection needs.
+
+    Layout (raveled): candidates [S+2, cap] (avg rows, valid bit, position
+    as exact-in-f32 integer), kept clips [S+1, KP] (avg rows, valid bit),
+    then [n_in_band]. finalize=True derives the near-miss bound from the
+    lowest-scoring user match on device (reference compute_matches.py:78-85
+    arithmetic, f32; the margin absorbs the f64 difference)."""
+    valid = jnp.all(counts > 0, axis=0)                       # [N]
+    scores = jnp.where(valid, scores_from_similarities(avg, weights),
+                       -jnp.inf)
+    if finalize:
+        um_scores = jnp.where(um_mask & jnp.take(valid, um_pos),
+                              jnp.take(scores, um_pos), jnp.inf)
+        low = jnp.minimum(1.0, jnp.min(um_scores, initial=jnp.inf))
+        nm = jnp.maximum(threshold - low, 0.0) / jnp.maximum(
+            1.0 - threshold, eps)
+    else:
+        nm = near_miss
+    lower = threshold - nm * (1.0 - threshold)
+    in_band = scores >= lower - _BAND_MARGIN
+    n_cand = jnp.sum(in_band)
+    idx = jnp.nonzero(in_band, size=cap, fill_value=-1)[0]    # ascending
+    safe = jnp.maximum(idx, 0)
+    cand = jnp.concatenate([
+        jnp.take(avg, safe, axis=1),
+        (jnp.take(valid, safe) & (idx >= 0))[None].astype(jnp.float32),
+        idx.astype(jnp.float32)[None],  # exact: cap < 2^24
+    ])
+    keep = jnp.concatenate([
+        jnp.take(avg, keep_pos, axis=1),
+        jnp.take(valid, keep_pos)[None].astype(jnp.float32),
+    ])
+    return jnp.concatenate([
+        cand.ravel(), keep.ravel(),
+        n_cand.astype(jnp.float32)[None],
+    ])
+
+
+def _scores_f64(avg: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """float64 weighted score of f32 similarity rows — the same bits
+    SimilarityTable.scores produces (ticket.py:165-180)."""
+    dev = w[:, None] * (1.0 - avg.astype(np.float64))
+    return 1.0 - np.sqrt((dev * dev).sum(axis=0) / (w * w).sum())
+
+
+def _pad_positions(pos: list[int], multiple: int = 8
+                   ) -> tuple[np.ndarray, int]:
+    """Pad a position list to a bucket size (position 0 as filler) so every
+    distinct keep/reviewed count does not compile a fresh program."""
+    m = len(pos)
+    mp = max(multiple, -(-m // multiple) * multiple)
+    out = np.zeros(mp, np.int32)
+    out[:m] = pos
+    return out, m
 
 
 class SimilarityTable:
@@ -135,6 +226,132 @@ class SimilarityTable:
         return hp.with_round_state(new_weights, result.threshold), result
 
 
+class ResidentTable:
+    """Device-resident similarity table: the big-corpus round.
+
+    avg/counts stay on device. optimize() downloads only the reviewed rows
+    ([S, M] for M reviewed clips); round_scores() downloads only the banded
+    candidates plus kept clips, returning the reduced ascending-clip-id
+    scores dict that select_clips_to_review needs — its exact float64 band
+    filtering makes the selection bit-identical to the full-download path
+    (the device band is margin-widened, see _BAND_MARGIN)."""
+
+    def __init__(self, index: FeatureIndex, avg, counts):
+        self.index = index
+        self.avg = avg        # f32[S, Npad] device
+        self.counts = counts  # i32[S, Npad] device
+
+    def _positions(self, clip_ids: Sequence[int]) -> list[int]:
+        out = []
+        for cid in clip_ids:
+            pos = self.index.position(cid)
+            if pos is not None:
+                out.append(pos)
+        return out
+
+    def optimize(
+        self, reviewed_labels: Mapping[int, float], hp: HyperParams
+    ) -> tuple[HyperParams, GridResult]:
+        """SimilarityTable.optimize semantics; the reviewed similarities are
+        gathered on device and downloaded alone (kilobytes, not the table)."""
+        positions, labels = [], []
+        for clip_id, label in reviewed_labels.items():
+            pos = self.index.position(clip_id)
+            if pos is None:
+                raise KeyError(f"reviewed clip {clip_id} not in the search set")
+            positions.append(pos)
+            labels.append(float(label))
+        pos_p, m = _pad_positions(positions)
+        sim = np.asarray(_gather_sim_rows(self.avg, jnp.asarray(pos_p)))[:, :m]
+        result = optimize_weights(
+            sim, np.asarray(labels, np.float64),
+            hp.weight_grid, hp.threshold_grid, hp.ballast, compute_eps(),
+        )
+        new_weights = {hp.streams[0]: 1.0, hp.streams[1]: result.weight}
+        return hp.with_round_state(new_weights, result.threshold), result
+
+    def round_scores(
+        self,
+        weights: Mapping[str, float],
+        threshold: float,
+        near_miss: float,
+        keep_ids: Sequence[int] = (),
+        user_match_ids: Sequence[int] = (),
+        finalize: bool = False,
+        caps: Sequence[int] = (32_768, 262_144),
+    ) -> dict[int, float] | None:
+        """Reduced {clip_id: score} covering the selection band and the kept
+        clips, in canonical ascending-clip-id order with the same float64
+        score bits as SimilarityTable.scores.
+
+        The candidate download is cap-sized, so caps escalate: the common
+        case pays a ~0.5 MB transfer, a wide band retries at the next cap,
+        and a band wider than every cap returns None — the caller then
+        falls back to the full-table download."""
+        for cap in caps:
+            out = self._round_scores_once(weights, threshold, near_miss,
+                                          keep_ids, user_match_ids,
+                                          finalize, cap)
+            if out is not None:
+                return out
+        return None
+
+    def _round_scores_once(self, weights, threshold, near_miss, keep_ids,
+                           user_match_ids, finalize: bool, cap: int
+                           ) -> dict[int, float] | None:
+        s = len(self.index.streams)
+        w = np.asarray([weights[st] for st in self.index.streams], np.float64)
+        keep_pos, n_keep = _pad_positions(self._positions(keep_ids))
+        um_list = self._positions(user_match_ids)
+        um_pos, n_um = _pad_positions(um_list)
+        um_mask = np.zeros(um_pos.shape[0], bool)
+        um_mask[:n_um] = True
+        packed = np.asarray(_banded_candidates(
+            self.avg, self.counts, jnp.asarray(w, jnp.float32),
+            jnp.float32(threshold), jnp.float32(near_miss),
+            jnp.float32(compute_eps()), jnp.asarray(keep_pos),
+            jnp.asarray(um_pos), jnp.asarray(um_mask),
+            cap=cap, finalize=finalize,
+        ), np.float64)
+        cand_sz = (s + 2) * cap
+        keep_sz = (s + 1) * keep_pos.shape[0]
+        cand = packed[:cand_sz].reshape(s + 2, cap)
+        keep = packed[cand_sz:cand_sz + keep_sz].reshape(s + 1, -1)
+        n_cand = int(round(packed[-1]))
+        if n_cand > cap:
+            return None
+        pos_score: dict[int, float] = {}
+        cvalid = cand[s] > 0.5
+        cpos = np.rint(cand[s + 1]).astype(np.int64)
+        cscores = _scores_f64(cand[:s].astype(np.float32), w)
+        for p, sc in zip(cpos[cvalid].tolist(), cscores[cvalid].tolist()):
+            pos_score[p] = sc
+        kvalid = keep[s, :n_keep] > 0.5
+        kscores = _scores_f64(keep[:s, :n_keep].astype(np.float32), w)
+        for p, ok, sc in zip(keep_pos[:n_keep].tolist(), kvalid.tolist(),
+                             kscores.tolist()):
+            if ok:
+                pos_score[p] = sc
+        ids = np.asarray(self.index.clip_ids)
+        return {int(ids[p]): pos_score[p] for p in sorted(pos_score)}
+
+    def to_table(self) -> SimilarityTable:
+        """Full-download fallback (identical to compute_similarities)."""
+        return _download_table(self.index, self.avg, self.counts)
+
+
+def _download_table(index: FeatureIndex, avg, counts) -> SimilarityTable:
+    """ONE download: counts are tiny ints (<= n_splits), packed exactly
+    into one extra f32 row; a second device->host transfer costs
+    ~25 ms-1 s latency tunneled."""
+    s = avg.shape[0]
+    if len(index.splits) < _COUNT_RADIX and 3 * s <= 24:
+        packed = np.asarray(_pack_f32(avg, counts))
+        return SimilarityTable(index, packed[:s], _unpack_counts(packed[s], s))
+    # ensembles too wide for digit packing (never the reference shape)
+    return SimilarityTable(index, np.asarray(avg), np.asarray(counts))
+
+
 class SearchEngine:
     """Two numerics modes:
 
@@ -160,17 +377,22 @@ class SearchEngine:
         avg, counts = ensemble_similarities(
             targets, tmask, self.index.feats, self.index.mask
         )
-        # ONE download: counts are tiny ints (<= n_splits), packed exactly
-        # into one extra f32 row; a second device->host transfer costs
-        # ~25 ms-1 s latency tunneled
-        s = avg.shape[0]
-        if len(self.index.splits) < _COUNT_RADIX and 3 * s <= 24:
-            packed = np.asarray(_pack_f32(avg, counts))
-            return SimilarityTable(self.index, packed[:s],
-                                   _unpack_counts(packed[s], s))
-        # ensembles too wide for digit packing (never the reference shape)
-        return SimilarityTable(self.index, np.asarray(avg),
-                               np.asarray(counts))
+        return _download_table(self.index, avg, counts)
+
+    def compute_similarities_resident(
+        self, target: Mapping[str, Mapping[int, list]]
+    ) -> ResidentTable:
+        """Big-corpus flavor: the similarity table stays on device (see
+        ResidentTable). Device path only — exact mode keeps its float64
+        host table."""
+        if self.exact:
+            raise ValueError("the resident table is the f32 device path; "
+                             "exact mode downloads the full float64 table")
+        targets, tmask = self.index.target_arrays(target)
+        avg, counts = ensemble_similarities(
+            targets, tmask, self.index.feats, self.index.mask
+        )
+        return ResidentTable(self.index, avg, counts)
 
     def _compute_similarities_host(self, target) -> SimilarityTable:
         targets, tmask = self.index.target_arrays_host(target)

@@ -18,6 +18,7 @@ from videoquery.core.config import (
     STATE_FINALIZED,
     STATE_IN_PROGRESS,
     STATE_PROCESSED,
+    SearchConfig,
     compute_eps,
 )
 from videoquery.index.store import FeatureIndex
@@ -158,9 +159,19 @@ def process_job(
         # no version signal -> reference semantics: refetch every round
         # (ticket.py:358-382); a TTL-stale index must never be served
         index = build_index()
-    table = SearchEngine(index, exact=exact).compute_similarities(
-        ticket.target_features
-    )
+    engine = SearchEngine(index, exact=exact)
+    # Big search sets keep the similarity table on device and download only
+    # the banded candidates (engine.ResidentTable) — selection-identical to
+    # the full path by construction; small sets take the simpler one-shot
+    # table download.
+    big = (not exact
+           and index.n_padded >= SearchConfig().big_round_threshold)
+    table = None
+    resident = None
+    if big:
+        resident = engine.compute_similarities_resident(ticket.target_features)
+    else:
+        table = engine.compute_similarities(ticket.target_features)
 
     # -- hyperparameter round state (compute_matches.py:61-67) ---------------
     if update_type == "new" or not update_object["matches"]:
@@ -172,7 +183,7 @@ def process_job(
             if label is None:
                 label = match["is_match"]
             reviewed[match["video_clip"]] = float(bool(label))
-        hp_round, _grid = table.optimize(reviewed, hp)
+        hp_round, _grid = (resident or table).optimize(reviewed, hp)
     else:
         raise Exception("update type is invalid")
 
@@ -180,7 +191,21 @@ def process_job(
     new_round = 1 if update_type == "new" else ticket.latest_query_result["round"] + 1
     new_result_id = ticket.create_query_result(new_round, hp_round)
 
-    ticket.scores = table.scores(hp_round.weights)
+    if resident is not None:
+        user_match_ids = [int(c) for c, v in ticket.user_matches.items()
+                          if v is True]
+        keep_ids = [ticket.ref_clip_id] + user_match_ids
+        scores = resident.round_scores(
+            hp_round.weights, hp_round.threshold, hp_round.near_miss_default,
+            keep_ids, user_match_ids,
+            finalize=update_type == "finalize",
+        )
+        if scores is None:  # band wider than every cap: full download
+            table = resident.to_table()
+            scores = table.scores(hp_round.weights)
+        ticket.scores = scores
+    else:
+        ticket.scores = table.scores(hp_round.weights)
     if update_type == "finalize":
         max_number_matches = INFINITE_MATCHES
         low_score, _ = lowest_scoring_user_match(ticket.scores, ticket.user_matches)
