@@ -15,18 +15,20 @@ blocks (3c, 4e) stay on the XLA path: they are 2 of 10 and their strided
 convs/pools reshape the tile geometry.
 
 STATUS: experimental, OFF by default (bn_inception.apply(fused_blocks=...)),
-and — per the round-3 roofline account (tools/cnn_roofline.py,
-docs/TUNING.md) — CORRECTLY off on this chip: the unfused ensemble forward
-already runs at ~93% of the chip's measured bf16 matmul peak (91.5 ms
-MXU-only bound vs ~98 ms measured for both streams), i.e. it is
-COMPUTE-bound here, and a traffic-reducing fusion cannot improve it. The
-kernel matters on healthy-HBM/full-clock v5e parts, where the analytic
-xla-traffic bound (~41 ms) exceeds the healthy MXU bound (~27 ms) and
-ideal fusion (~16 GB -> ~8 GB per batch) roughly halves the
-bandwidth-bound time. Secondary blocker on this stack: Mosaic takes ~12
-MINUTES per block kernel to compile (the 9-tap unrolled dot chains at
-14x14/7x7 with unaligned spatial slices explode lowering time); revisit
-both together when targeting healthy hardware.
+and MEASURED SLOWER than XLA on this stack (round-3 second pass,
+tools/inception_block_bench.py, production ensemble geometry: vmap x3
+members, 200 bf16 images): inception_4b (14x14) runs 9.77 ms fused vs
+5.99 ms unfused — the 9-tap rank-4 dot chains at unaligned spatial sizes
+lower badly — and the 28x28 block (3b) OOM-kills the Mosaic compile
+helper outright (~80 MB MLIR). An earlier justification ("the unfused
+forward is at 93-100% MFU, nothing to win") rested on an RTT-polluted
+peak measurement and is withdrawn; the corrected account
+(docs/TUNING.md) shows the forward inside its conv-SHAPE matmul envelope
+(narrow-cout/small-K layers cap at 27-86 TF/s on this 161-176 TF/s
+part), with the remaining gap to the traffic bound owned by XLA's conv
+scheduling — which this kernel, as measured, does not beat. Kept as the
+reference implementation of the fusion idea and for future Mosaic stacks;
+re-run the A/B tool before ever turning it on.
 
 Correctness notes:
 - Caffe AVE pool (zero padding, constant 9 denominator) falls out of the
