@@ -1,9 +1,12 @@
 """Winograd F(2x2,3x3) on TPU — measured NEGATIVE result (kept reproducible).
 
-Stride-1 3x3 convs are ~63% of BN-Inception's FLOPs and the ensemble
-forward is compute-bound at 93-100% MFU (tools/cnn_roofline.py), so
-Winograd's 2.25x multiply reduction looked like the one remaining CNN
-lever (int8/fp8 already measured slower than bf16 — docs/TUNING.md).
+Stride-1 3x3 convs are ~63% of BN-Inception's FLOPs, so Winograd's 2.25x
+multiply reduction looked like a major CNN lever. (This experiment was
+originally motivated by a "93-100% MFU compute-bound" roofline figure
+that was later withdrawn as RTT-polluted — docs/TUNING.md; the corrected
+account puts the forward inside its conv-shape matmul envelope, and the
+negative result below stands unchanged because it is shape-structural,
+not ceiling-relative.)
 
 Measured on the production shapes, it LOSES decisively, for a structural
 reason no kernel engineering removes:
