@@ -120,6 +120,7 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
 
 def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
               splits=(1, 2, 3), host_gray: bool = True,
+              host_crop: bool = True,
               sustained_frames: int = 3604
               ) -> tuple[float, float, float]:
     """The honest production number: video FILE -> feature CSVs, wall clock
@@ -162,7 +163,8 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=splits,
                               dtype=jax.numpy.bfloat16)
     ex = Extractor(tsn, ExtractionConfig(batch_clips=batch_clips,
-                                         host_gray=host_gray),
+                                         host_gray=host_gray,
+                                         host_crop=host_gray and host_crop),
                    dtype="bfloat16")
     # warm the compile caches off the clock (same geometry as the real run)
     warm = ex.extract_video_stream(video)
@@ -405,6 +407,12 @@ def main():
                          "(tools/flow_quality.py --host_gray; TUNING.md)")
     ap.add_argument("--device_gray", dest="host_gray", action="store_false",
                     help="e2e mode: full-frame upload + on-device gray")
+    ap.add_argument("--no_host_crop", dest="host_crop", action="store_false",
+                    default=True,
+                    help="e2e mode: disable host-side tick-frame resize+crop "
+                         "(ExtractionConfig.host_crop; on by default — pure "
+                         "slicing at decode_at_target scale, bit-identical "
+                         "embeddings, ~42%% fewer rgb upload bytes)")
     args = ap.parse_args()
 
     # One JSON line for the driver; `metrics` carries every named number
@@ -439,7 +447,8 @@ def main():
         metrics["extraction_device_clips_per_s_chip"] = round(rate, 3)
     if args.mode in ("e2e", "all"):
         e2e_rate, decode_rate, sustained = bench_e2e(
-            batch_clips=args.batch_clips, host_gray=args.host_gray)
+            batch_clips=args.batch_clips, host_gray=args.host_gray,
+            host_crop=args.host_crop)
         metrics["e2e_file_to_csvs_clips_per_s"] = round(e2e_rate, 3)
         metrics["e2e_sustained_clips_per_s"] = round(sustained, 3)
         metrics["decode_only_clips_per_s_ceiling"] = round(decode_rate, 3)

@@ -465,6 +465,72 @@ def test_host_gray_compact_upload_matches_device_gray(tsn, small_cfg,
         assert cos.min() > 0.97, f"flow embeddings diverged: cos={cos.min()}"
 
 
+def test_host_crop_bit_identical_at_target_scale(tsn, small_cfg):
+    """ExtractionConfig.host_crop ships tick frames already resized+cropped
+    (decode.resize_crop_frames). When the frames already sit at
+    frame_resize — the decode_at_target production geometry — the host step
+    is PURE SLICING, so rgb and flow embeddings must be bit-identical to
+    the host_gray path (the device program only loses a resize+crop that
+    was itself slice-only at this geometry)."""
+    import dataclasses
+
+    import cv2
+
+    rng = np.random.default_rng(7)
+    base = cv2.GaussianBlur(
+        rng.integers(0, 255, (256, 340, 3), np.uint8), (15, 15), 4)
+    frames = np.stack([
+        cv2.warpAffine(base, np.float32([[1, 0, 2.0 * i], [0, 1, 0.7 * i]]),
+                       (340, 256))
+        for i in range(16)])  # 1 full 10-frame clip + 6-frame tail
+    tv = TVL1Params(n_scales=3, n_warps=2, n_iters=8)
+    a_ex = Extractor(tsn, dataclasses.replace(small_cfg, host_gray=True),
+                     warped=True, tvl1=tv)
+    b_ex = Extractor(tsn, dataclasses.replace(small_cfg, host_gray=True,
+                                              host_crop=True),
+                     warped=True, tvl1=tv)
+    a = [s.materialize() for s in a_ex.extract_frames(frames)]
+    b = [s.materialize() for s in b_ex.extract_frames(frames)]
+    assert [s.clip_numbers for s in a] == [s.clip_numbers for s in b]
+    for sa, sb in zip(a, b):
+        np.testing.assert_array_equal(sb.rgb, sa.rgb)
+        np.testing.assert_array_equal(sb.flow, sa.flow)
+
+
+def test_host_crop_native_size_close_to_device_resize(tsn, small_cfg,
+                                                      synthetic_frames):
+    """At native (non-target) decode sizes host_crop resizes with cv2 on
+    uint8 — the reference's own preprocessing (predict_single_frame resizes
+    the uint8 frame with cv2 before cropping, calcSig_wOF.py:94) — while
+    the device path resizes in f32 (matching the cv2 oracle to <=1.5 LSB).
+    The only divergence is cv2's uint8 fixed-point rounding, so rgb
+    embeddings stay within tight cosine tolerance and flow embeddings stay
+    EXACT (same gray payload either way)."""
+    import dataclasses
+
+    tv = TVL1Params(n_scales=3, n_warps=2, n_iters=8)
+    a_ex = Extractor(tsn, dataclasses.replace(small_cfg, host_gray=True),
+                     warped=True, tvl1=tv)
+    b_ex = Extractor(tsn, dataclasses.replace(small_cfg, host_gray=True,
+                                              host_crop=True),
+                     warped=True, tvl1=tv)
+    a = [s.materialize() for s in a_ex.extract_frames(synthetic_frames)]
+    b = [s.materialize() for s in b_ex.extract_frames(synthetic_frames)]
+    for sa, sb in zip(a, b):
+        np.testing.assert_array_equal(sb.flow, sa.flow)
+        cos = np.sum(sa.rgb * sb.rgb, -1) / (
+            np.linalg.norm(sa.rgb, axis=-1)
+            * np.linalg.norm(sb.rgb, axis=-1) + 1e-12)
+        assert cos.min() > 0.999, f"rgb embeddings diverged: cos={cos.min()}"
+
+
+def test_host_crop_requires_host_gray():
+    """host_crop without host_gray would crop the full-clip upload the
+    device's gray/flow path still needs — the config must refuse it."""
+    with pytest.raises(ValueError, match="host_crop requires host_gray"):
+        ExtractionConfig(host_crop=True)
+
+
 def test_gray_flow_grid_matches_device_gray(rng):
     """decode.gray_flow_grid (host cv2 path) approximates the on-device
     gray + flow-grid resize: same shape (flow_grid_shape is shared), and

@@ -211,6 +211,17 @@ class ExtractionConfig:
     # pays off upload-bound (the device-gray path is exact f32); bench.py's
     # e2e mode enables it on the tunneled chip.
     host_gray: bool = False
+    # On top of host_gray: resize (cv2 INTER_LINEAR, uint8 — the very
+    # resize the reference applies inside predict_single_frame,
+    # calcSig_wOF.py:94) + center-crop the 25 tick frames on the HOST and
+    # upload [T, crop, crop, 3] instead of [T, H, W, 3] (another ~42% off
+    # the rgb payload at 340x256 -> 224x224). With decode_at_target the
+    # resize is a no-op and the crop is pure slicing — bit-identical to the
+    # device path (tested); at native decode sizes the host uint8 resize is
+    # MORE reference-faithful than the device float path (caffe-action
+    # resizes uint8 frames). Like host_gray, the win is upload-bound-only;
+    # bench.py's e2e mode enables it on the tunneled chip.
+    host_crop: bool = False
     # Streaming decode backpressure: the producer thread may run at most
     # this many clip batches ahead of the device before blocking — this is
     # what makes extract_video_stream's memory constant in video length
@@ -226,6 +237,11 @@ class ExtractionConfig:
             raise ValueError(
                 f"flow_warm_camera must be 'key' or 'own'; "
                 f"got {self.flow_warm_camera!r}")
+        if self.host_crop and not self.host_gray:
+            # without host_gray the device needs ALL frames for gray/flow;
+            # cropped full-clip uploads would corrupt the flow stream
+            raise ValueError("host_crop requires host_gray=True "
+                             "(it crops the compact tick-frame upload)")
 
     @property
     def frames_per_clip(self) -> int:

@@ -118,6 +118,35 @@ def gray_flow_grid(frames: np.ndarray, fh: int, fw: int,
     return out
 
 
+def resize_crop_frames(frames: np.ndarray, resize_wh: tuple[int, int],
+                       crop_size: int, where: str = "center") -> np.ndarray:
+    """BGR uint8 [N, H, W, 3] -> uint8 [N, crop, crop, 3]: cv2 INTER_LINEAR
+    resize to (W, H) followed by a fixed crop, on the host.
+
+    Companion of ExtractionConfig.host_crop: the reference performs exactly
+    this uint8 cv2 resize inside predict_single_frame (calcSig_wOF.py:94)
+    before cropping, so the host path is the parity-normative one; the
+    device float path (preprocess._resize_crop) matches it to cv2's
+    fixed-point rounding (<= ~1.5 LSB, tests/test_pipeline.py). When frames
+    already sit at (W, H) — decode_at_target — the resize is skipped and
+    this is pure slicing, bit-identical to the device path."""
+    import cv2
+
+    w, h = resize_wh
+    if where == "center":
+        top, left = (h - crop_size) // 2, (w - crop_size) // 2
+    elif where == "tl":
+        top, left = 0, 0
+    else:
+        raise ValueError(f"unknown crop {where!r}")
+    out = np.empty((len(frames), crop_size, crop_size, 3), np.uint8)
+    for i, f in enumerate(frames):
+        if f.shape[0] != h or f.shape[1] != w:
+            f = cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR)
+        out[i] = f[top:top + crop_size, left:left + crop_size]
+    return out
+
+
 def probe_frame_count(path: str) -> int:
     """Container-reported frame count (0 if unknown)."""
     import cv2

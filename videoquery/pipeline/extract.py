@@ -317,7 +317,7 @@ def _flow_gray_grid(frames_u8: jax.Array, flow_res_div: int,
     static_argnames=("bound", "warped", "tvl1", "cfg_resize", "cfg_crop",
                      "dtype_str", "flow_impl", "flow_res_div", "mesh",
                      "flow_warm_camera", "flow_warm_advect",
-                     "flow_gray_matmul"),
+                     "flow_gray_matmul", "host_cropped", "native_hw"),
 )
 def _extract_step(
     rgb_params,
@@ -349,6 +349,15 @@ def _extract_step(
                                        # gray at the flow grid (compact
                                        # upload: frames_u8 then holds ONLY
                                        # the tick frames [B, T, H, W, 3])
+    host_cropped: bool = False,  # tick frames arrive already resized +
+                                 # cropped (decode.resize_crop_frames;
+                                 # ExtractionConfig.host_crop) — the rgb
+                                 # preprocess skips its resize+crop
+    native_hw: tuple[int, int] | None = None,  # (H, W) of the frames the
+                                 # gray grid was computed from — REQUIRED
+                                 # with host_cropped (the cropped tick
+                                 # frames no longer carry it); sets the
+                                 # flow-grid -> native-pixel value scale
 ):
     """The whole per-batch extraction as ONE device program:
     grayscale -> warped TV-L1 -> tick gather -> preprocess -> 6-way TSN.
@@ -366,7 +375,14 @@ def _extract_step(
     from videoquery.nn import bn_inception
 
     if gray_u8 is not None:
-        h0, w0 = frames_u8.shape[2], frames_u8.shape[3]
+        if native_hw is not None:
+            h0, w0 = native_hw
+        else:
+            if host_cropped:
+                raise ValueError("host_cropped needs native_hw: the cropped "
+                                 "tick frames no longer carry the native "
+                                 "size the flow values must scale to")
+            h0, w0 = frames_u8.shape[2], frames_u8.shape[3]
         fh, fw = gray_u8.shape[2], gray_u8.shape[3]
         gray = gray_u8.astype(jnp.float32) / 255.0
         vscale = (w0 / fw, h0 / fh)
@@ -397,7 +413,8 @@ def _extract_step(
     stacks = stacks.transpose(0, 1, 3, 4, 2, 5).reshape(b, t, h, w, d * 2)
 
     dtype = jnp.dtype(dtype_str)
-    rgb_in = preprocess_rgb(rgb_ticks, cfg_resize, cfg_crop, dtype=dtype)
+    rgb_in = preprocess_rgb(rgb_ticks, cfg_resize, cfg_crop, dtype=dtype,
+                            precropped=host_cropped)
     flow_in = preprocess_flow(stacks, cfg_resize, cfg_crop, dtype=dtype)
     rgb_flat = rgb_in.reshape((b * t,) + rgb_in.shape[2:])
     flow_flat = flow_in.reshape((b * t,) + flow_in.shape[2:])
@@ -715,6 +732,7 @@ class Extractor:
         ticks_rgb, ticks_dev, stack_dev, pair_dev, warm = \
             self._plan_arrays(f_len)
         gray_dev = None
+        native_hw = None  # (H, W) the gray grid was computed from
         if cfg.host_gray:
             # compact upload: ship only the 25 tick frames + uint8 gray at
             # the flow grid (~4x fewer bytes than all 150 RGB frames) —
@@ -731,6 +749,7 @@ class Extractor:
             fpc = cfg.frames_per_clip
             h0, w0 = frames[group[0][0] - 1].shape[:2] if not is_arr \
                 else frames.shape[1:3]
+            native_hw = (int(h0), int(w0))
             fh, fw = flow_grid_shape(h0, w0, self.flow_res_div)
             gray_np = np.empty((len(group), fpc, fh, fw), np.uint8)
             for i, (s, e) in enumerate(group):
@@ -744,6 +763,17 @@ class Extractor:
             tick0 = ticks_rgb - 1
             clip_rgb = np.stack([frame_gather(s - 1 + tick0)
                                  for s, _e in group])
+            if cfg.host_crop:
+                # shrink the rgb payload further: cv2 resize (no-op under
+                # decode_at_target) + center crop on the host — the upload
+                # becomes [B, T, crop, crop, 3] (~42% fewer rgb bytes at
+                # production geometry); bit-identical to the device
+                # resize+crop when decode is at target scale (tested)
+                b_, t_ = clip_rgb.shape[:2]
+                clip_rgb = decode.resize_crop_frames(
+                    clip_rgb.reshape((b_ * t_,) + clip_rgb.shape[2:]),
+                    cfg.frame_resize, cfg.crop_size,
+                ).reshape(b_, t_, cfg.crop_size, cfg.crop_size, 3)
         else:
             gray_np = None
             clip_rgb = np.stack([frame_range(s - 1, e)
@@ -794,6 +824,8 @@ class Extractor:
             flow_warm_camera=cfg.flow_warm_camera,
             flow_gray_matmul=cfg.flow_gray_matmul,
             gray_u8=gray_dev,
+            host_cropped=cfg.host_crop,
+            native_hw=native_hw,
         )
         # keep embeddings on device: callers batch the readback
         # (gather_signatures) — each np.asarray here costs ~35 ms of tunnel
@@ -889,6 +921,10 @@ def main(argv=None) -> None:
                    help="compact upload: host cv2 gray + tick frames only "
                         "(~4x fewer host->device bytes; see "
                         "ExtractionConfig.host_gray)")
+    p.add_argument("--host_crop", action="store_true",
+                   help="with --host_gray: resize+crop tick frames on the "
+                        "host too (~42%% fewer rgb bytes; see "
+                        "ExtractionConfig.host_crop)")
     args = p.parse_args(argv)
 
     from videoquery.core.jaxsetup import setup_jax
@@ -899,7 +935,8 @@ def main(argv=None) -> None:
                            num_ticks=args.num_ticks, batch_clips=args.batch_clips,
                            feature_blob=args.featureBlob,
                            flow_res_div=args.flow_res_div,
-                           host_gray=args.host_gray)
+                           host_gray=args.host_gray,
+                           host_crop=args.host_crop)
 
     # resolve inputs BEFORE building the model: TSN construction costs tens
     # of seconds on a tunneled TPU and a bad path should fail immediately

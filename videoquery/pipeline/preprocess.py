@@ -112,9 +112,17 @@ def preprocess_rgb(
     crop_size: int = 224,
     crop: str = "center",
     dtype=jnp.float32,
+    precropped: bool = False,     # frames already resized+cropped on host
 ) -> jax.Array:
-    """BGR frames -> mean-subtracted crops ready for the rgb net."""
-    x = _resize_crop(frames, resize_wh[0], resize_wh[1], crop_size, crop)
+    """BGR frames -> mean-subtracted crops ready for the rgb net.
+
+    precropped: the host already applied the cv2 resize + crop
+    (decode.resize_crop_frames, ExtractionConfig.host_crop) — only the
+    mean subtraction remains on device."""
+    if precropped:
+        x = frames.astype(jnp.float32)
+    else:
+        x = _resize_crop(frames, resize_wh[0], resize_wh[1], crop_size, crop)
     x = x - jnp.asarray(BGR_MEAN, jnp.float32)
     return x.astype(dtype)
 
