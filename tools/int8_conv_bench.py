@@ -134,8 +134,27 @@ def main():
                     help="dense-member batch (8 clips x 25 ticks x 3 splits)")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--no_dot_control", action="store_true")
+    ap.add_argument("--bf16_only", action="store_true",
+                    help="skip the int8 columns: measures whether XLA's "
+                         "bf16 CONV lowering itself leaves headroom vs a "
+                         "same-GEMM-shape dot (it does not — measured "
+                         "conv/dot 0.49-1.07x across every geometry, i.e. "
+                         "the conv is at-or-below the im2col dot's cost; "
+                         "docs/TUNING.md conv-lowering section)")
     args = ap.parse_args()
     n = args.images
+
+    if args.bf16_only:
+        print(f"{'layer':34s} {'conv bf16 ms':>12s} {'dot bf16 ms':>12s} "
+              f"{'conv/dot':>9s}")
+        for label, h, k, s, cin, cout in LAYERS:
+            t_c = bench_conv(jnp.bfloat16, n, h, k, s, cin, cout, args.iters)
+            ho = h // s
+            m, gk = n * ho * ho, k * k * cin
+            t_d = bench_dot(jnp.bfloat16, m, gk, cout, args.iters)
+            print(f"{label:34s} {t_c*1e3:12.2f} {t_d*1e3:12.2f} "
+                  f"{t_c/t_d:9.2f}x", flush=True)
+        return
 
     print(f"{'layer':34s} {'bf16 ms':>8s} {'int8 ms':>8s} {'ratio':>6s}"
           f"{'':2s}{'dot bf16':>9s} {'dot int8':>9s} {'ratio':>6s}")
