@@ -120,7 +120,7 @@ def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
 
 def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
               splits=(1, 2, 3), host_gray: bool = True,
-              host_crop: bool = True,
+              host_crop: bool = True, host_yuv420: bool = True,
               sustained_frames: int = 3604
               ) -> tuple[float, float, float]:
     """The honest production number: video FILE -> feature CSVs, wall clock
@@ -162,9 +162,11 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
     log(f"[e2e] building TSN ensemble (splits={splits})")
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=splits,
                               dtype=jax.numpy.bfloat16)
+    hc = host_gray and host_crop
     ex = Extractor(tsn, ExtractionConfig(batch_clips=batch_clips,
                                          host_gray=host_gray,
-                                         host_crop=host_gray and host_crop),
+                                         host_crop=hc,
+                                         host_yuv420=hc and host_yuv420),
                    dtype="bfloat16")
     # warm the compile caches off the clock (same geometry as the real run)
     warm = ex.extract_video_stream(video)
@@ -413,6 +415,13 @@ def main():
                          "(ExtractionConfig.host_crop; on by default — pure "
                          "slicing at decode_at_target scale, bit-identical "
                          "embeddings, ~42%% fewer rgb upload bytes)")
+    ap.add_argument("--no_host_yuv420", dest="host_yuv420",
+                    action="store_false", default=True,
+                    help="e2e mode: disable the YUV 4:2:0 tick upload "
+                         "(ExtractionConfig.host_yuv420; on by default — "
+                         "1.5 B/px instead of 3 on an upload-bound backend; "
+                         "the reference's own rgb inputs went through 4:2:0 "
+                         "JPEGs, so this applies strictly less chroma loss)")
     args = ap.parse_args()
 
     # One JSON line for the driver; `metrics` carries every named number
@@ -448,7 +457,7 @@ def main():
     if args.mode in ("e2e", "all"):
         e2e_rate, decode_rate, sustained = bench_e2e(
             batch_clips=args.batch_clips, host_gray=args.host_gray,
-            host_crop=args.host_crop)
+            host_crop=args.host_crop, host_yuv420=args.host_yuv420)
         metrics["e2e_file_to_csvs_clips_per_s"] = round(e2e_rate, 3)
         metrics["e2e_sustained_clips_per_s"] = round(sustained, 3)
         metrics["decode_only_clips_per_s_ceiling"] = round(decode_rate, 3)

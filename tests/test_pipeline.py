@@ -531,6 +531,70 @@ def test_host_crop_requires_host_gray():
         ExtractionConfig(host_crop=True)
 
 
+def test_yuv420_device_reconstruction_matches_cv2(rng):
+    """extract._yuv420_to_bgr must invert decode.bgr_to_yuv420 exactly the
+    way cv2's own decoder does: compare against cv2.cvtColor(YUV2BGR_I420)
+    on random frames (the hardest case for the fixed-point constants) —
+    <=2 LSB everywhere. This pins the device math to cv2; the information
+    LOSS of 4:2:0 itself is covered by the embedding test below and by the
+    parity anchor (the reference's rgb inputs all went through 4:2:0 JPEGs,
+    build_wof_clips.py:47 / calcSig_wOF.py:92-93)."""
+    import cv2
+
+    from videoquery.pipeline.extract import _yuv420_to_bgr
+
+    frames = rng.integers(0, 256, (3, 64, 48, 3), np.uint8)
+    yuv = decode.bgr_to_yuv420(frames)
+    assert yuv.shape == (3, 96, 48)
+    dev = np.asarray(_yuv420_to_bgr(jax.numpy.asarray(yuv)))
+    ref = np.stack([cv2.cvtColor(y, cv2.COLOR_YUV2BGR_I420) for y in yuv])
+    assert np.abs(dev - ref.astype(np.float32)).max() <= 2.0
+
+
+def test_host_yuv420_embeddings_close(tsn, small_cfg):
+    """host_yuv420 ships tick frames as 4:2:0 (half the rgb payload). The
+    flow stream rides the untouched gray payload — embeddings EXACT — and
+    the rgb embeddings must stay within tight cosine tolerance of the
+    host_crop path (the only change is 2x2 chroma subsampling plus cv2's
+    studio-swing Y quantization; the reference applied MORE chroma loss
+    than this via JPEG)."""
+    import dataclasses
+
+    import cv2
+
+    rng = np.random.default_rng(11)
+    base = cv2.GaussianBlur(
+        rng.integers(0, 255, (256, 340, 3), np.uint8), (15, 15), 4)
+    frames = np.stack([
+        cv2.warpAffine(base, np.float32([[1, 0, 2.0 * i], [0, 1, 0.7 * i]]),
+                       (340, 256))
+        for i in range(16)])
+    tv = TVL1Params(n_scales=3, n_warps=2, n_iters=8)
+    a_ex = Extractor(tsn, dataclasses.replace(small_cfg, host_gray=True,
+                                              host_crop=True),
+                     warped=True, tvl1=tv)
+    b_ex = Extractor(tsn, dataclasses.replace(small_cfg, host_gray=True,
+                                              host_crop=True,
+                                              host_yuv420=True),
+                     warped=True, tvl1=tv)
+    a = [s.materialize() for s in a_ex.extract_frames(frames)]
+    b = [s.materialize() for s in b_ex.extract_frames(frames)]
+    assert [s.clip_numbers for s in a] == [s.clip_numbers for s in b]
+    for sa, sb in zip(a, b):
+        np.testing.assert_array_equal(sb.flow, sa.flow)
+        cos = np.sum(sa.rgb * sb.rgb, -1) / (
+            np.linalg.norm(sa.rgb, axis=-1)
+            * np.linalg.norm(sb.rgb, axis=-1) + 1e-12)
+        assert cos.min() > 0.999, f"rgb embeddings diverged: cos={cos.min()}"
+
+
+def test_host_yuv420_requires_host_crop():
+    """host_yuv420 packs the CROPPED tick upload; without host_crop the
+    chroma planes would not tile the native frames — must refuse."""
+    with pytest.raises(ValueError, match="host_yuv420 requires host_crop"):
+        ExtractionConfig(host_gray=True, host_yuv420=True)
+
+
 def test_gray_flow_grid_matches_device_gray(rng):
     """decode.gray_flow_grid (host cv2 path) approximates the on-device
     gray + flow-grid resize: same shape (flow_grid_shape is shared), and

@@ -222,6 +222,19 @@ class ExtractionConfig:
     # resizes uint8 frames). Like host_gray, the win is upload-bound-only;
     # bench.py's e2e mode enables it on the tunneled chip.
     host_crop: bool = False
+    # On top of host_crop: ship the cropped tick frames as YUV 4:2:0
+    # (cv2 COLOR_BGR2YUV_I420 — 1.5 bytes/px instead of 3) and reconstruct
+    # BGR on device (nearest chroma upsample + the BT.601 studio-swing
+    # constants of cv2's own YUV2BGR_I420, matched to <=2 LSB —
+    # tests/test_pipeline.py). Chroma subsampling is the reference's OWN
+    # data path: build_wof_clips.py:47 writes every decoded frame as JPEG
+    # (4:2:0 chroma + DCT quantization) and calcSig_wOF.py:92-93 feeds the
+    # rgb CNN from those JPEGs — this knob applies strictly less chroma
+    # loss than the reference applied, and only to the rgb stream (flow
+    # runs on the untouched gray payload). Default OFF: the win is
+    # upload-bound-only, like host_gray/host_crop; bench.py's e2e mode
+    # enables it on the tunneled chip (measured A/B in docs/TUNING.md).
+    host_yuv420: bool = False
     # Streaming decode backpressure: the producer thread may run at most
     # this many clip batches ahead of the device before blocking — this is
     # what makes extract_video_stream's memory constant in video length
@@ -242,6 +255,15 @@ class ExtractionConfig:
             # cropped full-clip uploads would corrupt the flow stream
             raise ValueError("host_crop requires host_gray=True "
                              "(it crops the compact tick-frame upload)")
+        if self.host_yuv420:
+            if not self.host_crop:
+                # the device unpack assumes fixed, even crop geometry; on
+                # uncropped frames the chroma planes would not tile
+                raise ValueError("host_yuv420 requires host_crop=True "
+                                 "(it packs the cropped tick frames)")
+            if self.crop_size % 4:
+                raise ValueError("host_yuv420 needs crop_size % 4 == 0 "
+                                 "(I420 stores chroma rows pairwise)")
 
     @property
     def frames_per_clip(self) -> int:

@@ -147,6 +147,24 @@ def resize_crop_frames(frames: np.ndarray, resize_wh: tuple[int, int],
     return out
 
 
+def bgr_to_yuv420(frames: np.ndarray) -> np.ndarray:
+    """BGR uint8 [N, H, W, 3] -> I420 uint8 [N, H*3//2, W]
+    (cv2 COLOR_BGR2YUV_I420: Y plane, then the 2x2-subsampled U and V
+    planes packed row-major). Companion of ExtractionConfig.host_yuv420 —
+    halves the chroma payload of the tick-frame upload; the device inverse
+    (extract._yuv420_to_bgr) matches cv2's own YUV2BGR_I420 to <=2 LSB.
+    Chroma subsampling is the reference's own data path: every rgb frame
+    it scored went through a 4:2:0 JPEG (build_wof_clips.py:47,
+    calcSig_wOF.py:92-93)."""
+    import cv2
+
+    n, h, w = frames.shape[:3]
+    out = np.empty((n, h * 3 // 2, w), np.uint8)
+    for i, f in enumerate(frames):
+        out[i] = cv2.cvtColor(f, cv2.COLOR_BGR2YUV_I420)
+    return out
+
+
 def probe_frame_count(path: str) -> int:
     """Container-reported frame count (0 if unknown)."""
     import cv2

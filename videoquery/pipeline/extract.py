@@ -267,6 +267,30 @@ def flow_grid_shape(h0: int, w0: int, flow_res_div: int) -> tuple[int, int]:
     return fh, fw
 
 
+def _yuv420_to_bgr(yuv: jax.Array) -> jax.Array:
+    """I420 uint8 [..., H*3//2, W] -> float32 BGR [..., H, W, 3] in
+    [0, 255], matching cv2.cvtColor(COLOR_YUV2BGR_I420) to <=2 LSB
+    (tests/test_pipeline.py): nearest 2x chroma upsample + the BT.601
+    studio-swing constants cv2's fixed-point path uses. Device inverse of
+    decode.bgr_to_yuv420 (ExtractionConfig.host_yuv420 compact upload)."""
+    hh, w = yuv.shape[-2], yuv.shape[-1]
+    h = hh * 2 // 3
+    lead = yuv.shape[:-2]
+    y = yuv[..., :h, :].astype(jnp.float32)
+    # I420 memory layout: Y [h, w], then U and V planes of [h//2, w//2]
+    # each, packed row-major into (h//4) rows of width w apiece
+    uv = yuv[..., h:, :].reshape(lead + (2, h // 2, w // 2))
+    u = uv[..., 0, :, :].astype(jnp.float32) - 128.0
+    v = uv[..., 1, :, :].astype(jnp.float32) - 128.0
+    u = jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
+    yf = 1.1643836 * (y - 16.0)
+    b = yf + 2.0172321 * u
+    g = yf - 0.3917623 * u - 0.8129676 * v
+    r = yf + 1.5960267 * v
+    return jnp.clip(jnp.stack([b, g, r], axis=-1), 0.0, 255.0)
+
+
 def _flow_gray_grid(frames_u8: jax.Array, flow_res_div: int,
                     matmul: bool = True):
     """ITU-R 601 luma (BGR order, cv2 parity) + lane-aligned flow-grid
@@ -317,7 +341,8 @@ def _flow_gray_grid(frames_u8: jax.Array, flow_res_div: int,
     static_argnames=("bound", "warped", "tvl1", "cfg_resize", "cfg_crop",
                      "dtype_str", "flow_impl", "flow_res_div", "mesh",
                      "flow_warm_camera", "flow_warm_advect",
-                     "flow_gray_matmul", "host_cropped", "native_hw"),
+                     "flow_gray_matmul", "host_cropped", "native_hw",
+                     "host_yuv"),
 )
 def _extract_step(
     rgb_params,
@@ -358,6 +383,11 @@ def _extract_step(
                                  # with host_cropped (the cropped tick
                                  # frames no longer carry it); sets the
                                  # flow-grid -> native-pixel value scale
+    host_yuv: bool = False,      # tick frames arrive as I420 YUV 4:2:0
+                                 # [B, T, crop*3//2, crop] uint8
+                                 # (decode.bgr_to_yuv420;
+                                 # ExtractionConfig.host_yuv420) — BGR is
+                                 # reconstructed on device
 ):
     """The whole per-batch extraction as ONE device program:
     grayscale -> warped TV-L1 -> tick gather -> preprocess -> 6-way TSN.
@@ -402,6 +432,8 @@ def _extract_step(
 
     if gray_u8 is not None:
         rgb_ticks = frames_u8  # host already gathered the tick frames
+        if host_yuv:
+            rgb_ticks = _yuv420_to_bgr(rgb_ticks)  # f32 [B,T,crop,crop,3]
     else:
         rgb_ticks = jnp.take(frames_u8, rgb_tick_idx, axis=1)  # [B,T,H,W,3]
     stacks = jnp.take(flow_q, stack_idx.reshape(-1), axis=1)
@@ -774,6 +806,15 @@ class Extractor:
                     clip_rgb.reshape((b_ * t_,) + clip_rgb.shape[2:]),
                     cfg.frame_resize, cfg.crop_size,
                 ).reshape(b_, t_, cfg.crop_size, cfg.crop_size, 3)
+                if cfg.host_yuv420:
+                    # halve the chroma payload: I420 is 1.5 B/px vs 3;
+                    # device reconstructs BGR (_yuv420_to_bgr). The
+                    # reference's own rgb inputs went through 4:2:0 JPEGs
+                    # (build_wof_clips.py:47, calcSig_wOF.py:92-93).
+                    cs = cfg.crop_size
+                    clip_rgb = decode.bgr_to_yuv420(
+                        clip_rgb.reshape(b_ * t_, cs, cs, 3),
+                    ).reshape(b_, t_, cs * 3 // 2, cs)
         else:
             gray_np = None
             clip_rgb = np.stack([frame_range(s - 1, e)
@@ -826,6 +867,7 @@ class Extractor:
             gray_u8=gray_dev,
             host_cropped=cfg.host_crop,
             native_hw=native_hw,
+            host_yuv=cfg.host_yuv420,
         )
         # keep embeddings on device: callers batch the readback
         # (gather_signatures) — each np.asarray here costs ~35 ms of tunnel
@@ -925,6 +967,11 @@ def main(argv=None) -> None:
                    help="with --host_gray: resize+crop tick frames on the "
                         "host too (~42%% fewer rgb bytes; see "
                         "ExtractionConfig.host_crop)")
+    p.add_argument("--host_yuv420", action="store_true",
+                   help="with --host_crop: ship tick frames as YUV 4:2:0 "
+                        "(1.5 B/px; the reference's own rgb inputs went "
+                        "through 4:2:0 JPEGs) and reconstruct BGR on "
+                        "device (ExtractionConfig.host_yuv420)")
     args = p.parse_args(argv)
 
     from videoquery.core.jaxsetup import setup_jax
@@ -936,7 +983,8 @@ def main(argv=None) -> None:
                            feature_blob=args.featureBlob,
                            flow_res_div=args.flow_res_div,
                            host_gray=args.host_gray,
-                           host_crop=args.host_crop)
+                           host_crop=args.host_crop,
+                           host_yuv420=args.host_yuv420)
 
     # resolve inputs BEFORE building the model: TSN construction costs tens
     # of seconds on a tunneled TPU and a bad path should fail immediately
