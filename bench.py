@@ -27,7 +27,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_extraction(n_batches: int = 4, batch_clips: int = 8,
+def bench_extraction(n_batches: int = 8, batch_clips: int = 8,
                      frames_per_clip: int = 150, hw=(256, 340),
                      num_ticks: int = 25, splits=(1, 2, 3),
                      flow_res_div: int = 2, flow_warm_group: int | None = None,
@@ -395,7 +395,10 @@ def main():
                     choices=["extract", "query", "round", "ingest", "both",
                              "e2e", "all"])
     ap.add_argument("--segments", type=int, default=1_000_000)
-    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--batches", type=int, default=8,
+                    help="device batches per timing window (more batches "
+                         "amortize the single forced-sync readback better; "
+                         "same steady-state quantity)")
     ap.add_argument("--batch_clips", type=int, default=8)
     ap.add_argument("--warm_iters", type=int, default=None,
                     help="override TVL1Params.warm_iters for sweep runs "
