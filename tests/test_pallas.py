@@ -184,7 +184,7 @@ def test_fused_inception_matches_xla(name, cin, hw, rng):
     """The fused Pallas inception block (experimental; one HBM read+write
     per block) computes exactly the XLA _inception: AVE-pool block with 1x1
     branch (3a) and MAX-pool block (5b)."""
-    from videoquery.kernels.inception_pallas import fused_inception
+    from tools.inception_pallas import fused_inception
     from videoquery.nn import bn_inception as bi
 
     base = jax.tree.map(jnp.asarray, bi.init_params(0, 3))

@@ -1,5 +1,6 @@
 """On-chip A/B of one BN-Inception block: XLA (unfused) vs the fused Pallas
-kernel (kernels/inception_pallas.py), at production ensemble geometry
+kernel (tools/inception_pallas.py — demoted out of the package after this
+measurement), at production ensemble geometry
 (vmap over K stacked members, N images each, bf16).
 
 The round-3 roofline initially concluded the ensemble was compute-bound at
@@ -62,7 +63,7 @@ def main():
     ap.add_argument("--skip_pallas", action="store_true")
     args = ap.parse_args()
 
-    from videoquery.kernels.inception_pallas import fused_inception
+    from tools.inception_pallas import fused_inception
 
     geo = block_geometry()
     names = args.blocks or [n for n, (_h, _c, b) in geo.items()

@@ -257,15 +257,15 @@ def apply(
     num_classes_head: bool = True,
     dropout_rng: jax.Array | None = None,
     dropout_rate: float = 0.8,         # rgb prototxt :742
-    fused_blocks: bool = False,        # Pallas fused stride-1 inception
 ) -> dict[str, jax.Array]:
     """Forward pass. Returns {'global_pool': [B, 1024], 'fc-action': [B, C]}.
 
     Dropout only applies when a dropout_rng is passed (training); the
     reference always runs caffe.TEST where dropout is identity
-    (calcSig_wOF.py:44-46). fused_blocks runs the 8 stride-1 inception
-    blocks as single Pallas kernels (one HBM read+write per block — the
-    forward is bandwidth-bound; kernels/inception_pallas.py)."""
+    (calcSig_wOF.py:44-46). The blocks run on XLA's conv path by design:
+    every measured restructuring (fused Pallas block, Winograd, conv->dot,
+    int8) loses on this stack — see docs/TUNING.md roofline; the fused
+    block experiment lives in tools/inception_pallas.py."""
     if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
         y = _stem_s2d(params, x)      # same math, MXU-friendly shapes
     else:
@@ -275,12 +275,7 @@ def apply(
     y = _conv(params, "conv2/3x3", y, 3, 1, 1)
     y = max_pool(y, 3, 2, 0)
     for name, b in INCEPTION_BLOCKS:
-        if fused_blocks and b["stride"] == 1:
-            from videoquery.kernels.inception_pallas import fused_inception
-
-            y = fused_inception(params, name, b, y)
-        else:
-            y = _inception(params, name, b, y)
+        y = _inception(params, name, b, y)
     # global_pool: 7x7 AVE (rgb prototxt :739-740)
     gp = jnp.mean(y.astype(jnp.float32), axis=(1, 2))  # [B, 1024]
     out = {"global_pool": gp}
@@ -294,10 +289,9 @@ def apply(
     return out
 
 
-def embed(params, x, fused_blocks: bool = False) -> jax.Array:
+def embed(params, x) -> jax.Array:
     """The 1024-d embedding (the `global_pool` blob)."""
-    return apply(params, x, num_classes_head=False,
-                 fused_blocks=fused_blocks)["global_pool"]
+    return apply(params, x, num_classes_head=False)["global_pool"]
 
 
 # Jitted entry points — always call these (or wrap apply in your own jit):
