@@ -14,8 +14,10 @@ inception definitions, rgb deploy :47-739). The 2 stride-2 reduction
 blocks (3c, 4e) stay on the XLA path: they are 2 of 10 and their strided
 convs/pools reshape the tile geometry.
 
-STATUS: experimental, OFF by default (bn_inception.apply(fused_blocks=...)),
-and MEASURED SLOWER than XLA on this stack (round-3 second pass,
+STATUS: demoted out of the production package (the `fused_blocks` hook it
+used to hang off bn_inception.apply was removed along with the demotion;
+to benchmark it, call fused_inception_block directly or run
+tools/inception_block_bench.py), MEASURED SLOWER than XLA on this stack (round-3 second pass,
 tools/inception_block_bench.py, production ensemble geometry: vmap x3
 members, 200 bf16 images): inception_4b (14x14) runs 9.77 ms fused vs
 5.99 ms unfused — the 9-tap rank-4 dot chains at unaligned spatial sizes
