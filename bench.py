@@ -126,9 +126,11 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
     """The honest production number: video FILE -> feature CSVs, wall clock
     including host decode (the headline extract mode feeds in-memory
     frames). Decode overlaps device compute via Extractor.extract_video_
-    stream; on few-core hosts the pipeline is decode-bound (cv2 ~130 fps/
-    core at this resolution — a production host needs ~1 core per 120 fps
-    of target throughput, or hardware decode upstream).
+    stream. The host producer (decode at target scale + cv2 gray) sustains
+    ~1,800 fps/core = ~12 clips/s/core at this codec/size, so a production
+    host needs roughly one core per 12 clips/s of target throughput; on the
+    tunneled bench chip the measured sustained rate is UPLOAD-bound below
+    that (44-850 MB/s tunnel variance, docs/TUNING.md).
 
     Reports TWO rates: the n_frames video is ONE device batch (a fully
     serialized decode -> upload -> compute -> readback chain, the
@@ -149,15 +151,31 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
     log(f"[e2e] synthesizing {n_frames}-frame {hw[0]}x{hw[1]} mp4...")
     decode.synthesize_video(video, n_frames=n_frames, size=hw)
 
-    t0 = time.time()
-    # decode at target scale, matching what the Extractor now does
-    # (ExtractionConfig.decode_at_target)
-    frames = decode.load_video_parallel(video, new_size=hw)
-    decode_s = time.time() - t0
-    log(f"[e2e] decode-only: {len(frames)} frames in {decode_s:.2f}s "
-        f"({len(frames)/decode_s:.0f} fps, "
-        f"{len(frames)/150/decode_s:.2f} clips/s ceiling)")
-    del frames
+    # Host ceiling: the STREAMING PRODUCER's own rate — decode at target
+    # scale plus (in host_gray mode) the per-frame cv2 gray at the flow
+    # grid. This is what extract_video_stream actually overlaps device work
+    # against; timing load_video's whole-video materialization instead
+    # under-reported the ceiling ~16x (np.stack of 300+ MB plus cgroup
+    # burst throttling dominate that number, not decode — the raw decode
+    # generator runs thousands of fps at this codec/size). Best of 2
+    # passes: the first may pay page-cache warmup.
+    from videoquery.pipeline.extract import flow_grid_shape
+
+    cfg_probe = ExtractionConfig()
+    fh, fw = flow_grid_shape(hw[1], hw[0], cfg_probe.flow_res_div)
+    producer_fps = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        n_dec = 0
+        for f in decode.video_frames(video, hw):
+            if host_gray:
+                decode.gray_flow_grid(f[None], fh, fw)
+            n_dec += 1
+        producer_fps = max(producer_fps, n_dec / (time.time() - t0))
+    decode_rate = producer_fps / 150.0
+    log(f"[e2e] host producer ceiling (decode at target scale"
+        f"{' + gray' if host_gray else ''}): {producer_fps:.0f} fps/core = "
+        f"{decode_rate:.1f} clips/s")
 
     log(f"[e2e] building TSN ensemble (splits={splits})")
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=splits,
@@ -197,7 +215,7 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    return rate, len(warm) and n_clips / decode_s, sustained
+    return rate, decode_rate, sustained
 
 
 def bench_query(n_segments: int = 1_000_000, dim: int = 1024, q: int = 16,
@@ -463,7 +481,7 @@ def main():
             host_crop=args.host_crop, host_yuv420=args.host_yuv420)
         metrics["e2e_file_to_csvs_clips_per_s"] = round(e2e_rate, 3)
         metrics["e2e_sustained_clips_per_s"] = round(sustained, 3)
-        metrics["decode_only_clips_per_s_ceiling"] = round(decode_rate, 3)
+        metrics["host_producer_clips_per_s_ceiling"] = round(decode_rate, 3)
         if args.mode == "e2e":
             return emit("e2e_video_file_to_csvs_throughput",
                         round(e2e_rate, 3), "clips/s/chip",
