@@ -445,6 +445,8 @@ def main():
                 "pallas", PRODUCTION_TVL1, 2, 3, "key", True, ""),
             "host gray cv2 area": (
                 "pallas", PRODUCTION_TVL1, 2, 3, "key", True, "area"),
+            "host gray cv2 area2 (box+area)": (
+                "pallas", PRODUCTION_TVL1, 2, 3, "key", True, "area2"),
             "host gray cv2 linear": (
                 "pallas", PRODUCTION_TVL1, 2, 3, "key", True, "linear"),
         }

@@ -96,22 +96,53 @@ def to_grayscale(frames: np.ndarray) -> np.ndarray:
     return gray / 255.0
 
 
+def _box_factor(h: int, w: int, fh: int, fw: int) -> int:
+    """Largest integer k with h%k == w%k == 0 and h//k >= fh, w//k >= fw —
+    the exact box-downscale prefactor cv2's INTER_AREA fast path accepts."""
+    k = 1
+    f = 2
+    while h % (k * f) == 0 and w % (k * f) == 0 \
+            and h // (k * f) >= fh and w // (k * f) >= fw:
+        k *= f
+    return k
+
+
 def gray_flow_grid(frames: np.ndarray, fh: int, fw: int,
-                   interp: str = "area") -> np.ndarray:
+                   interp: str = "area2") -> np.ndarray:
     """BGR uint8 [N, H, W, 3] -> uint8 gray [N, fh, fw] at the flow grid
     (extract.flow_grid_shape), computed with cv2 on the host.
 
     This is the compact-upload companion of the on-device gray path: uint8
     gray is exactly what the reference's dense_flow consumed (its inputs
     were cv2 gray JPEGs, build_wof_clips.py:60-73), so the 8-bit
-    quantization is parity with the reference rather than a loss. cv2
-    INTER_AREA is the antialiased downscale (the on-device jax.image.resize
-    path also antialiases); "linear" selects cv2's 2-tap INTER_LINEAR.
-    ~0.2 ms/frame on one core — absorbed by the decode thread."""
+    quantization is parity with the reference rather than a loss.
+
+    interp — all antialiased-downscale variants except "linear":
+    - "area2" (production default): exact integer box downscale first
+      (cv2's SIMD fast path), then INTER_AREA for the residual non-integer
+      factor. 2.4x faster than direct INTER_AREA at the production geometry
+      (0.063 vs 0.151 ms/frame, 340x256 -> 128x128) and the gray path is
+      the largest host-producer cost; gated EPE/retrieval-equal to "area"
+      (tools/flow_quality.py --host_gray, docs/TUNING.md).
+    - "area": direct cv2 INTER_AREA (the round-2 gated default).
+    - "linear": cv2's 2-tap INTER_LINEAR (gated WORSE bg EPE; not
+      production)."""
     import cv2
 
-    mode = {"area": cv2.INTER_AREA, "linear": cv2.INTER_LINEAR}[interp]
     out = np.empty((len(frames), fh, fw), np.uint8)
+    if interp == "area2":
+        h, w = frames.shape[1:3]
+        k = _box_factor(h, w, fh, fw)
+        for i, f in enumerate(frames):
+            g = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+            if k > 1:
+                g = cv2.resize(g, (w // k, h // k),
+                               interpolation=cv2.INTER_AREA)
+            if g.shape != (fh, fw):
+                g = cv2.resize(g, (fw, fh), interpolation=cv2.INTER_AREA)
+            out[i] = g
+        return out
+    mode = {"area": cv2.INTER_AREA, "linear": cv2.INTER_LINEAR}[interp]
     for i, f in enumerate(frames):
         g = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
         out[i] = cv2.resize(g, (fw, fh), interpolation=mode)
