@@ -618,6 +618,37 @@ def test_gray_flow_grid_matches_device_gray(rng):
     assert np.abs(host.mean() - dev.mean()) < 1 / 255.0
 
 
+def test_gray_area2_matches_direct_area(rng):
+    """The production "area2" interp (exact box prefactor + residual
+    INTER_AREA — 2.4x faster; normative quality gate in
+    tools/flow_quality.py --host_gray) stays within a couple uint8 LSB of
+    direct INTER_AREA on smooth frames, collapses to IDENTICAL bytes when
+    the grid is an exact integer downscale or the identity, and handles
+    geometries with no usable box prefactor (odd dims -> k == 1)."""
+    import cv2
+
+    from videoquery.pipeline.decode import _box_factor
+
+    # (H, W) -> (fh, fw): production half-res, exact /2, identity, odd dims
+    cases = [((256, 340), (128, 128)), ((256, 340), (128, 170)),
+             ((256, 340), (256, 340)), ((255, 339), (100, 120))]
+    for (h, w), (fh, fw) in cases:
+        f = cv2.GaussianBlur(
+            rng.integers(0, 255, (h, w, 3), np.uint8), (9, 9), 2)
+        a = decode.gray_flow_grid(f[None], fh, fw, interp="area")[0]
+        b = decode.gray_flow_grid(f[None], fh, fw, interp="area2")[0]
+        d = np.abs(a.astype(int) - b.astype(int))
+        if (h % fh == 0 and w % fw == 0 and h // fh == w // fw) \
+                or (h, w) == (fh, fw):
+            assert d.max() == 0, ((h, w), (fh, fw))
+        else:
+            assert d.max() <= 3 and d.mean() < 0.6, ((h, w), (fh, fw), d.max())
+    assert _box_factor(256, 340, 128, 128) == 2
+    assert _box_factor(255, 339, 100, 120) == 1
+    assert _box_factor(512, 512, 64, 64) == 8
+    assert _box_factor(256, 340, 256, 340) == 1
+
+
 def test_plan_arrays_cached_per_clip_length(tsn, small_cfg):
     """Tick/stack/pair index arrays are uploaded once per clip length and
     reused across batches (each host->device transfer pays ~1-2 s latency
