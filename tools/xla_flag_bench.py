@@ -53,7 +53,6 @@ CONFIGS: list[tuple[str, str]] = [
     ("lhs", "--xla_tpu_enable_latency_hiding_scheduler=true"),
     ("lhs+vmem64m", "--xla_tpu_enable_latency_hiding_scheduler=true "
      "--xla_tpu_scoped_vmem_limit_kib=65536"),
-    ("async-fusion", "--xla_tpu_enable_async_collective_fusion=false"),
     ("flash-vmem", "--xla_tpu_scoped_vmem_limit_kib=131072"),
 ]
 
@@ -117,10 +116,12 @@ def child_full(reps: int) -> dict:
             flow_pair_idx=jnp.asarray(pair_idx, jnp.int32),
             flow_warm_plan=warm, flow_warm_camera=cfg.flow_warm_camera)
 
-    _ = float(sum(r.sum() for r, _ in step()))
+    # step() is a 2-tuple of [K, B, 1024] arrays: sum over the tuple's
+    # elements (unpacking each array would split its K axis)
+    _ = float(sum(x.sum() for x in step()))
     t0 = time.time()
     outs = [step() for _ in range(reps)]
-    _ = float(sum(r.sum() for r, _ in outs[-1]))
+    _ = float(sum(x.sum() for x in outs[-1]))
     dt = (time.time() - t0) / reps
     return {"total_ms": dt * 1e3, "clips_per_s": 8 / dt}
 
@@ -154,8 +155,15 @@ def main() -> None:
         cmd = [sys.executable, os.path.abspath(__file__), "--child",
                f"--reps={args.reps}"] + (["--full"] if args.full else [])
         t0 = time.time()
-        proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                              timeout=1200)
+        try:
+            proc = subprocess.run(cmd, env=env, capture_output=True,
+                                  text=True, timeout=1200)
+        except subprocess.TimeoutExpired:
+            # a hung config (bad scheduling flag) must not discard the rows
+            # already collected — record it and keep sweeping
+            print(f"[{label}] FAILED (timeout after 1200s)")
+            rows.append((label, flags, None))
+            continue
         wall = time.time() - t0
         res = None
         for line in proc.stdout.splitlines():
