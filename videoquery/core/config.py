@@ -281,12 +281,19 @@ class BrokerConfig:
     )
     log_dir: str = "logs"
     report_dir: str = "final_reports"
+    # state-3 job lease (service/lease.py): a job stuck "in progress" longer
+    # than this is reset to its requesting state on the next poll. 0 turns
+    # recovery off. The reference had no such path — a crashed job stayed in
+    # state 3 forever (SURVEY.md §5.3).
+    lease_seconds: float = 600.0
 
     @staticmethod
     def from_env(**overrides) -> "BrokerConfig":
         kwargs = {}
         if "BASE_URL" in os.environ:
             kwargs["base_url"] = os.environ["BASE_URL"]
+        if "BROKER_LEASE_SECONDS" in os.environ:
+            kwargs["lease_seconds"] = float(os.environ["BROKER_LEASE_SECONDS"])
         kwargs.update(overrides)
         return BrokerConfig(**kwargs)
 

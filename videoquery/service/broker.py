@@ -19,6 +19,7 @@ from datetime import datetime
 from videoquery.core.config import BrokerConfig, default_hyperparams, random_seed
 from videoquery.service.client import ActionClient, HTTPTransport
 from videoquery.service.compute_matches import SearchSetCache, compute_matches
+from videoquery.service.lease import LeaseRecovery
 from videoquery.service.repository import APIRepository
 
 log = logging.getLogger(__name__)
@@ -55,11 +56,15 @@ class Broker:
         self.repository = APIRepository(self.client, self.config.base_url)
         self.exact = exact
         self.index_cache = SearchSetCache()
+        self.lease_recovery = LeaseRecovery(self.client,
+                                            self.config.lease_seconds)
         self._stop = threading.Event()
 
     def run_once(self) -> None:
         """One poll + compute pass (reference broker.main, broker.py:62-89)."""
         try:
+            # reset jobs a crashed broker left "in progress" (SURVEY.md §5.3)
+            self.lease_recovery.recover()
             hyperparameters = default_hyperparams()
             seed = random_seed()
             rng = random.Random(seed) if seed is not None else random.Random()

@@ -30,6 +30,7 @@ from videoquery.search.selection import (
     select_clips_to_review,
 )
 from videoquery.search.target import TargetEstimator
+from videoquery.service import lease
 from videoquery.service.repository import APIRepository
 from videoquery.service.ticket import Ticket
 
@@ -93,6 +94,14 @@ def compute_matches(
             continue
         ticket = Ticket(update_object, query_updates.client, report_dir)
         ticket.change_process_state(STATE_IN_PROGRESS)
+        # lease breadcrumb: lets a later poll detect and reset this job if
+        # the broker dies before the terminal PATCH (service/lease.py; the
+        # reference left such jobs in state 3 forever, SURVEY.md §5.3)
+        try:
+            lease.stamp(query_updates.client, ticket.query_id, update_type)
+        except Exception as exc:  # the stamp must never kill the job itself
+            log.warning("lease stamp failed for query %s: %s",
+                        ticket.query_id, exc)
 
         fatal_error_message, error_message = ticket.catch_errors(update_type)
         if fatal_error_message:

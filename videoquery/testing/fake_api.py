@@ -175,6 +175,7 @@ class FakeAPI:
             ("query-state", "compute-revised", "list"): self._a_compute_revised,
             ("query-state", "compute-finalize", "list"): self._a_compute_finalize,
             ("queries", "read"): self._a_query_read,
+            ("queries", "list"): self._a_queries_list,
             ("queries", "partial_update"): self._a_query_patch,
             ("videos", "list"): self._a_videos_list,
             ("videos", "read"): lambda p: dict(self.videos[p["id"]]),
@@ -212,6 +213,14 @@ class FakeAPI:
 
     def _a_query_read(self, params):
         return dict(self.queries[params["id"]])
+
+    def _a_queries_list(self, params):
+        # filterable listing (standard DRF surface; the broker's state-3
+        # lease recovery scans with process_state=3, service/lease.py)
+        rows = [dict(q) for q in sorted(self.queries.values(),
+                                        key=lambda q: q["id"])
+                if all(q.get(k) == params[k] for k in params)]
+        return {"results": rows}
 
     def _a_query_patch(self, params):
         q = self.queries[params.pop("id")]
