@@ -39,6 +39,22 @@ def _unpack_program(dtype: np.dtype, shapes: tuple[tuple[int, ...], ...]):
     return fn
 
 
+def put_global(x, sharding):
+    """device_put that also works under multi-process jax.distributed.
+
+    With a sharding that spans non-addressable devices (a real multi-host
+    mesh, or the 2-process virtual-CPU test harness), jax.device_put cannot
+    place remote shards — every process instead supplies its local shards
+    from the SAME host array via make_array_from_callback (the standard
+    multihost ingest pattern; callers guarantee all processes pass equal
+    data, which the deterministic index/target builders do)."""
+    if getattr(sharding, "is_fully_addressable", True):
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def device_put_tree(tree, sharding=None):
     """Transfer an arbitrary (numpy/jax) pytree to device with O(#dtypes)
     transfers instead of O(#leaves)."""
@@ -53,7 +69,8 @@ def device_put_tree(tree, sharding=None):
     out: list = [None] * len(host)
     for dtype, idxs in by_dtype.items():
         flat = np.concatenate([host[i].ravel() for i in idxs])
-        buf = jax.device_put(flat, sharding)
+        buf = put_global(flat, sharding) if sharding is not None \
+            else jax.device_put(flat)
         pieces = _unpack_program(dtype, tuple(host[i].shape for i in idxs))(buf)
         for i, piece in zip(idxs, pieces):
             out[i] = piece

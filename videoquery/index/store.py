@@ -197,10 +197,12 @@ class FeatureIndex:
             mask_sharding = NamedSharding(
                 feats_sharding.mesh, PartitionSpec(*spec[:3])
             )
+        from videoquery.core.transfer import put_global
+
         return FeatureIndex(
             self.clip_ids,
-            jax.device_put(self.feats, feats_sharding),
-            jax.device_put(self.mask, mask_sharding),
+            put_global(self.feats, feats_sharding),
+            put_global(self.mask, mask_sharding),
             self.streams,
             self.splits,
             self.feature_name,

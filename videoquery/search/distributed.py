@@ -146,7 +146,9 @@ class ShardedSearch:
             w[qi] = [wt[s] for s in idx.streams]
         from videoquery.core.transfer import device_put_tree
 
-        return device_put_tree((t, m, w))  # f32 pack + bool: 2 transfers
+        # replicated over the search mesh (works multi-process: put_global)
+        return device_put_tree(
+            (t, m, w), NamedSharding(self.mesh, P()))  # f32 + bool: 2 puts
 
     def topk(self, targets, tmask, weights, k: int = 20):
         """Device arrays in, (scores f32[Q, k], clip_ids i64[Q, k]) out."""

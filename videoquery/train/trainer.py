@@ -98,7 +98,12 @@ class TSNTrainer:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            params = jax.device_put(params, NamedSharding(mesh, P()))
+            from videoquery.core.transfer import put_global
+
+            # put_global: replicating over a multi-process mesh needs every
+            # process to supply its local shards (core/transfer.py)
+            params = jax.tree.map(
+                lambda p: put_global(p, NamedSharding(mesh, P())), params)
         self.params = params
         self.opt_state = jax.jit(make_optimizer(self.cfg).init)(self.params)
 
@@ -111,8 +116,10 @@ class TSNTrainer:
 
     def step(self, frames, labels, rng):
         if self.mesh is not None:
-            frames = jax.device_put(frames, self.data_sharding(frames.ndim))
-            labels = jax.device_put(labels, self.data_sharding(1))
+            from videoquery.core.transfer import put_global
+
+            frames = put_global(frames, self.data_sharding(frames.ndim))
+            labels = put_global(labels, self.data_sharding(1))
         self.params, self.opt_state, metrics = train_step(
             self.params, self.opt_state, frames, labels, rng, self.cfg
         )
