@@ -695,13 +695,16 @@ def test_stream_releases_consumed_frames(tmp_path, tsn, small_cfg,
     ex = Extractor(tsn, small_cfg, warped=False,
                    tvl1=TVL1Params(n_scales=2, n_warps=1, n_iters=4))
     seen_buffers = []
-    orig = Extractor._signature_batch
+    orig = ext.build_payload
 
-    def spy(self, frames, gray, group, nums):
+    def spy(frames, gray, group, nums, cfg, flow_res_div):
         seen_buffers.append((frames, [s for s, _e in group]))
-        return orig(self, frames, gray, group, nums)
+        return orig(frames, gray, group, nums, cfg, flow_res_div)
 
-    monkeypatch.setattr(Extractor, "_signature_batch", spy)
+    # streaming now builds payloads via the module-level build_payload
+    # (stream_payloads), whether on the producer thread or in mpstream
+    # worker processes
+    monkeypatch.setattr(ext, "build_payload", spy)
     ex.extract_video_stream(path)
     # the LAST batch (replan) must observe freed entries from earlier ones
     final_buf, _ = seen_buffers[-1]

@@ -138,8 +138,13 @@ class SearchConfig:
     # device-resident round (engine.ResidentTable): the similarity table
     # never downloads wholesale — the optimizer gathers the reviewed rows
     # and selection fetches only the banded candidates. Below it, the
-    # one-shot full-table download is simpler and just as fast.
-    big_round_threshold: int = 200_000
+    # one-shot full-table download wins (the resident round has ~75 ms of
+    # fixed dispatch cost on the tunneled chip; the download leg scales
+    # with the set). Round-4 crossover sweep: 10k full 47 ms vs resident
+    # 77; 50k 77 vs 74; 100k 131 vs 82 — the full-download leg is also the
+    # tunnel-RTT-sensitive one (the r3 "regression" from 83 to 129 ms at
+    # 100k was entirely this leg; resident stays 74-108 across sessions).
+    big_round_threshold: int = 50_000
 
 
 @dataclasses.dataclass(frozen=True)

@@ -460,6 +460,169 @@ def _extract_step(
 
 
 @dataclasses.dataclass
+class BatchPayload:
+    """Host-built upload payload for one clip batch — everything the device
+    step needs, with NO jax state, so it can be built in a decode worker
+    PROCESS (pipeline/mpstream.py) and shipped to the dispatching process
+    (the multi-core reincarnation of the reference's Pool-of-decoders,
+    build_wof_clips.py:175-184)."""
+
+    nums: list[int]                    # clip numbers
+    f_len: int                         # real frames per clip (tail < fpc)
+    clip_rgb: np.ndarray               # rgb payload (layout depends on cfg)
+    gray: "np.ndarray | None"          # [B, fpc, fh, fw] u8 (host_gray)
+    native_hw: "tuple[int, int] | None"
+
+
+def plan_groups(n_frames: int, cfg: ExtractionConfig, clip_numbers=None):
+    """[(group_of_ranges, clip_numbers)] — full clips batched, odd tails
+    solo (one compile per geometry)."""
+    ranges = clip_ranges(n_frames, cfg.fps, cfg.clip_seconds,
+                         cfg.min_tail_seconds)
+    if clip_numbers is None:
+        clip_numbers = list(range(1, len(ranges) + 1))
+    bsz = cfg.batch_clips
+    full = [r for r in ranges if r[1] - r[0] + 1 == cfg.frames_per_clip]
+    tail = [r for r in ranges if r[1] - r[0] + 1 != cfg.frames_per_clip]
+    groups = [full[i:i + bsz] for i in range(0, len(full), bsz)]
+    groups += [[r] for r in tail]  # odd-length tails run solo
+    return [(g, [clip_numbers[ranges.index(r)] for r in g])
+            for g in groups]
+
+
+def stream_payloads(path: str, cfg: ExtractionConfig, flow_res_div: int,
+                    new_size: tuple[int, int] | None) -> Iterator[BatchPayload]:
+    """Decode a video and yield upload payloads batch by batch, holding only
+    a constant window of frames (jax-free — runs in decode worker processes
+    for the multi-core producer, pipeline/mpstream.py, and on the producer
+    thread of Extractor.extract_video_stream).
+
+    Streams only FULL clip batches while decoding; the tail (and any full
+    clips a wrong container count hid) is replanned from the ACTUAL decoded
+    frame count — container counts are duration*fps estimates for some
+    mp4s/VFR and must not decide clip boundaries. Clip BOUNDARIES are
+    count-independent (clip i spans frames [i*fpc, (i+1)*fpc)), but batch
+    GROUPING is not, so the replan regroups only the clips not already
+    emitted (their frames all sit past the freed prefix: emitted clips are
+    a prefix of the full-clip list)."""
+    total = decode.probe_frame_count(path)
+    usable = max(total - 1, 0)  # first decoded frame skipped (decode.py)
+    fpc = cfg.frames_per_clip
+    frames: list[np.ndarray | None] = []
+    grays: list[np.ndarray] | None = [] if cfg.host_gray else None
+    grid = None
+    freed = 0
+    done_clips: set[int] = set()
+    # full-batch plan from the container estimate, consumed as frames arrive
+    pending = [(g, nums) for g, nums in plan_groups(usable, cfg)
+               if all(e - s + 1 == fpc for s, e in g)] if usable else []
+    pi = 0
+    for f in decode.video_frames(path, new_size):
+        if grays is not None:
+            if grid is None:
+                grid = flow_grid_shape(f.shape[0], f.shape[1], flow_res_div)
+            grays.append(decode.gray_flow_grid(f[None], *grid)[0])
+        frames.append(f)
+        while pi < len(pending):
+            group, nums = pending[pi]
+            need = max(e for _s, e in group)
+            if len(frames) < need:
+                break
+            yield build_payload(frames, grays, group, nums, cfg,
+                                flow_res_div)
+            done_clips.update(nums)
+            # later groups only touch indices >= need (ranges are disjoint
+            # and monotonic; flow pairs never cross a clip boundary)
+            for j in range(freed, need):
+                frames[j] = None
+                if grays is not None:
+                    grays[j] = None
+            freed = need
+            pi += 1
+    actual = len(frames)
+    if actual == 0:
+        raise IOError(f"no frames decoded from {path!r}")
+    if actual < usable:
+        log.warning("%s: decoded %d < reported %d frames", path, actual,
+                    usable)
+    remaining = [(r, n) for group, nums in plan_groups(actual, cfg)
+                 for r, n in zip(group, nums) if n not in done_clips]
+    full = [(r, n) for r, n in remaining if r[1] - r[0] + 1 == fpc]
+    tails = [(r, n) for r, n in remaining if r[1] - r[0] + 1 != fpc]
+    bsz = cfg.batch_clips
+    for batch in ([full[i:i + bsz] for i in range(0, len(full), bsz)]
+                  + [[tl] for tl in tails]):
+        yield build_payload(frames, grays, [r for r, _ in batch],
+                            [n for _, n in batch], cfg, flow_res_div)
+
+
+def build_payload(frames, gray, group, nums, cfg: ExtractionConfig,
+                  flow_res_div: int) -> BatchPayload:
+    """The host half of a signature batch (pure numpy/cv2; see
+    Extractor._dispatch_payload for the device half).
+
+    frames: uint8 [N, H, W, 3] ndarray OR a list of [H, W, 3] frames (the
+    streaming window buffer, possibly with a freed None-prefix).
+    gray: optional list of per-frame uint8 flow-grid gray, parallel to
+    frames (producer-precomputed); ignored unless cfg.host_gray."""
+    f_len = group[0][1] - group[0][0] + 1
+    is_arr = isinstance(frames, np.ndarray)
+
+    def frame_range(a, b):  # 0-based [a, b)
+        return frames[a:b] if is_arr else np.stack(frames[a:b])
+
+    def frame_gather(idxs):  # 0-based index array
+        return (frames[idxs] if is_arr
+                else np.stack([frames[j] for j in idxs]))
+
+    ticks_rgb = frame_ticks(f_len, cfg.num_ticks, 1)
+    gray_np = None
+    native_hw = None
+    if cfg.host_gray:
+        # compact upload: ship only the tick frames + uint8 gray at the
+        # flow grid (~4x fewer bytes than all frames) — see the host_gray
+        # discussion in the Extractor docstring / docs/TUNING.md
+        fpc = cfg.frames_per_clip
+        h0, w0 = frames[group[0][0] - 1].shape[:2] if not is_arr \
+            else frames.shape[1:3]
+        native_hw = (int(h0), int(w0))
+        fh, fw = flow_grid_shape(h0, w0, flow_res_div)
+        gray_np = np.empty((len(group), fpc, fh, fw), np.uint8)
+        for i, (s, e) in enumerate(group):
+            if gray is not None:  # producer-precomputed per-frame gray
+                gray_np[i, :f_len] = gray[s - 1:e]
+            else:
+                gray_np[i, :f_len] = decode.gray_flow_grid(
+                    frames[s - 1:e], fh, fw)
+            if f_len < fpc:
+                gray_np[i, f_len:] = gray_np[i, f_len - 1]
+        tick0 = ticks_rgb - 1
+        clip_rgb = np.stack([frame_gather(s - 1 + tick0)
+                             for s, _e in group])
+        if cfg.host_crop:
+            b_, t_ = clip_rgb.shape[:2]
+            clip_rgb = decode.resize_crop_frames(
+                clip_rgb.reshape((b_ * t_,) + clip_rgb.shape[2:]),
+                cfg.frame_resize, cfg.crop_size,
+            ).reshape(b_, t_, cfg.crop_size, cfg.crop_size, 3)
+            if cfg.host_yuv420:
+                cs = cfg.crop_size
+                clip_rgb = decode.bgr_to_yuv420(
+                    clip_rgb.reshape(b_ * t_, cs, cs, 3),
+                ).reshape(b_, t_, cs * 3 // 2, cs)
+    else:
+        clip_rgb = np.stack([frame_range(s - 1, e)
+                             for s, e in group])      # [B,F,H,W,3]
+        if f_len < cfg.frames_per_clip:
+            # pad tail clips with last-frame repeats: one compiled geometry
+            # per batch size; plans never index the padding (tested)
+            rep = np.repeat(clip_rgb[:, -1:],
+                            cfg.frames_per_clip - f_len, axis=1)
+            clip_rgb = np.concatenate([clip_rgb, rep], axis=1)
+    return BatchPayload(list(nums), f_len, clip_rgb, gray_np, native_hw)
+
+
+@dataclasses.dataclass
 class ClipSignatures:
     """Per-batch signatures. rgb/flow may be device arrays (deferred
     readback — device->host readback costs dominate on tunneled chips;
@@ -548,20 +711,7 @@ class Extractor:
                 )
 
     def _plan_groups(self, n_frames: int, clip_numbers=None):
-        """[(group_of_ranges, clip_numbers)] — full clips batched, odd tails
-        solo (one compile per geometry)."""
-        cfg = self.cfg
-        ranges = clip_ranges(n_frames, cfg.fps, cfg.clip_seconds,
-                             cfg.min_tail_seconds)
-        if clip_numbers is None:
-            clip_numbers = list(range(1, len(ranges) + 1))
-        bsz = cfg.batch_clips
-        full = [r for r in ranges if r[1] - r[0] + 1 == cfg.frames_per_clip]
-        tail = [r for r in ranges if r[1] - r[0] + 1 != cfg.frames_per_clip]
-        groups = [full[i:i + bsz] for i in range(0, len(full), bsz)]
-        groups += [[r] for r in tail]  # odd-length tails run solo
-        return [(g, [clip_numbers[ranges.index(r)] for r in g])
-                for g in groups]
+        return plan_groups(n_frames, self.cfg, clip_numbers)
 
     def extract_frames(self, frames: np.ndarray, clip_numbers=None
                        ) -> Iterator[ClipSignatures]:
@@ -574,138 +724,52 @@ class Extractor:
                              new_size: tuple[int, int] | None = None
                              ) -> list[ClipSignatures]:
         """Overlap host decode with device extraction: a producer thread
-        decodes while the device works on already-available clip batches —
-        end-to-end wall clock approaches max(decode, device) instead of
-        their sum (the reference ran its two stages strictly sequentially,
-        build_wof_clips.py:175-189). Falls back to load-then-extract when
-        the container reports no frame count.
+        runs stream_payloads (decode + gray + payload build; cv2 releases
+        the GIL so it overlaps the main thread's uploads/dispatch on 2+
+        core hosts) while this thread uploads and dispatches device batches
+        — end-to-end wall clock approaches max(decode, upload, device)
+        instead of their sum (the reference ran its stages strictly
+        sequentially, build_wof_clips.py:175-189).
 
-        Memory is CONSTANT in video length: clip batches consume frames in
-        monotonically increasing ranges (pairs never cross clips), so every
-        frame a dispatched batch has copied out is released immediately —
-        peak host RAM is one batch window (~40 MB at production geometry)
-        instead of the whole decoded video (a 1 h 15 fps video is ~14 GB;
-        the reference spilled frames/flow to JPEG trees on disk instead,
-        build_wof_clips.py:44-100)."""
+        Memory is CONSTANT in video length: stream_payloads holds one
+        frame window (clip batches consume monotonically increasing frame
+        ranges), and the bounded queue here backpressures a fast decoder
+        against a slow device/upload — peak host RAM is a few batch
+        payloads instead of the whole decoded video (a 1 h 15 fps video is
+        ~14 GB; the reference spilled frames/flow to JPEG trees on disk,
+        build_wof_clips.py:44-100). For multi-CORE hosts see
+        pipeline/mpstream.py (worker processes, one video each)."""
+        import queue
         import threading
 
         if new_size is None:
             new_size = self._decode_size()
-        total = decode.probe_frame_count(path)
-        if total <= 1:
-            return self.extract_video(path)
-        usable = total - 1  # first decoded frame skipped (decode.py parity)
-        got = threading.Condition()
-        frames: list[np.ndarray | None] = []
-        state = {"err": None, "done": False, "freed": 0, "drain": False}
-        # host_gray: grayscale is computed per frame IN the producer — cv2
-        # releases the GIL, so on 2+ core hosts gray overlaps the main
-        # thread's uploads/dispatch instead of sitting on the critical path
-        grays: list[np.ndarray] | None = [] if self.cfg.host_gray else None
-        # backpressure window: without it a fast decoder outruns a slow
-        # device (tunneled chips upload one batch in seconds) and the frame
-        # list grows toward the whole video — the constant-memory claim
-        # only holds if the producer BLOCKS once it is a few batches ahead.
-        # The window is always >= 2 full batches while the consumer frees
-        # at most one batch behind its `need`, so neither side can deadlock;
-        # "drain" lifts the limit once the consumer stops freeing (tail
-        # replan) so t.join() cannot hang on a blocked producer.
-        window = max(2, self.cfg.stream_window_batches) \
-            * self.cfg.batch_clips * self.cfg.frames_per_clip
+        q: "queue.Queue" = queue.Queue(
+            maxsize=max(2, self.cfg.stream_window_batches))
+        _END = object()
 
         def producer():
             try:
-                grid = None
-                for f in decode.video_frames(path, new_size):
-                    if grays is not None:
-                        if grid is None:
-                            grid = flow_grid_shape(f.shape[0], f.shape[1],
-                                                   self.flow_res_div)
-                        g = decode.gray_flow_grid(f[None], *grid)[0]
-                    with got:
-                        got.wait_for(
-                            lambda: state["drain"]
-                            or len(frames) - state["freed"] < window)
-                        frames.append(f)
-                        if grays is not None:
-                            grays.append(g)
-                        got.notify_all()
+                for payload in stream_payloads(path, self.cfg,
+                                               self.flow_res_div, new_size):
+                    q.put(payload)
+                q.put(_END)
             except BaseException as exc:  # surface decode errors
-                state["err"] = exc
-            finally:
-                with got:
-                    state["done"] = True
-                    got.notify_all()
+                q.put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         sigs: list[ClipSignatures] = []
-        done_clips: set[int] = set()
-        freed = 0
-        fpc = self.cfg.frames_per_clip
-        # Stream only FULL clip batches while decoding; the tail clip is
-        # planned after decode finishes, from the ACTUAL frame count —
-        # container counts are duration*fps estimates for some mp4s/VFR and
-        # must not decide clip boundaries (parity with extract_video).
-        for group, nums in self._plan_groups(usable):
-            if any(e - s + 1 != fpc for s, e in group):
-                continue  # tail: defer to the post-decode replan
-            need = max(e for _s, e in group)
-            with got:
-                got.wait_for(
-                    lambda: len(frames) >= need or state["done"])
-                n_avail = len(frames)
-            if state["err"] is not None:
-                raise state["err"]
-            if n_avail < need:
-                break  # over-reported count: replan below on actuals
-            sigs.append(self._signature_batch(frames, grays, group, nums))
-            done_clips.update(nums)
-            # release everything this batch consumed: later groups only
-            # touch frame indices >= need (clip ranges are disjoint and
-            # monotonic, flow pairs never cross a clip boundary)
-            with got:
-                for j in range(freed, need):
-                    frames[j] = None
-                    if grays is not None:
-                        grays[j] = None
-                freed = state["freed"] = need
-                got.notify_all()
-        with got:
-            # the consumer frees nothing past this point; lift the window
-            # so a still-decoding producer cannot block forever under join
-            state["drain"] = True
-            got.notify_all()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                # a decode failure must never silently truncate a video's
+                # feature set — extract_video propagates too (parity)
+                raise item
+            sigs.append(self._dispatch_payload(item))
         t.join()
-        if state["err"] is not None:
-            # a decode failure must never silently truncate a video's
-            # feature set — extract_video propagates too (parity)
-            raise state["err"]
-        # Replan on the actual decoded count: emits the tail clip and any
-        # full clips the container estimate missed. Clip BOUNDARIES are
-        # count-independent (clip i always spans frames [i*fpc, (i+1)*fpc)),
-        # but batch GROUPING is not: when `actual` yields more full clips
-        # than `usable` did, _plan_groups(actual) re-chunks them into
-        # batches that can straddle the done/undone boundary — re-dispatching
-        # such a group would duplicate done clips AND touch frames the
-        # streaming loop already freed. Regroup only the undone clips
-        # (their frames all sit at indices >= freed: done clips are a
-        # prefix of the full-clip list).
-        actual = len(frames)
-        if actual == 0:
-            raise IOError(f"no frames decoded from {path!r}")
-        if actual < usable:
-            log.warning("%s: decoded %d < reported %d frames", path, actual,
-                        usable)
-        remaining = [(r, n) for group, nums in self._plan_groups(actual)
-                     for r, n in zip(group, nums) if n not in done_clips]
-        full = [(r, n) for r, n in remaining if r[1] - r[0] + 1 == fpc]
-        tails = [(r, n) for r, n in remaining if r[1] - r[0] + 1 != fpc]
-        bsz = self.cfg.batch_clips
-        for batch in ([full[i:i + bsz] for i in range(0, len(full), bsz)]
-                      + [[tl] for tl in tails]):
-            sigs.append(self._signature_batch(
-                frames, grays, [r for r, _ in batch], [n for _, n in batch]))
         sigs.sort(key=lambda s: s.clip_numbers[0])
         return gather_signatures(sigs)
 
@@ -744,92 +808,25 @@ class Extractor:
         return plan
 
     def _signature_batch(self, frames, gray, group, nums) -> ClipSignatures:
-        """frames: uint8 [N, H, W, 3] ndarray OR a list of [H, W, 3] frames
-        (the streaming path's constant-memory window buffer).
-        gray: optional list of per-frame uint8 flow-grid gray, parallel to
-        frames — precomputed by the streaming producer thread in host_gray
-        mode so the cv2 work overlaps uploads/dispatch on 2+ core hosts.
-        Ignored (device computes gray) unless cfg.host_gray."""
+        """Host payload build + device dispatch for one clip batch (see
+        build_payload for the upload-layout documentation)."""
+        return self._dispatch_payload(
+            build_payload(frames, gray, group, nums, self.cfg,
+                          self.flow_res_div))
+
+    def _dispatch_payload(self, payload: BatchPayload) -> ClipSignatures:
+        """The device half: upload a host-built payload and run the fused
+        extraction step. Payloads may come from this process's producer
+        thread (extract_video_stream) or from decode worker processes
+        (pipeline/mpstream.py)."""
         cfg = self.cfg
-        f_len = group[0][1] - group[0][0] + 1
-        is_arr = isinstance(frames, np.ndarray)
-
-        def frame_range(a, b):  # 0-based [a, b)
-            return frames[a:b] if is_arr else np.stack(frames[a:b])
-
-        def frame_gather(idxs):  # 0-based index array
-            return (frames[idxs] if is_arr
-                    else np.stack([frames[j] for j in idxs]))
-
-        ticks_rgb, ticks_dev, stack_dev, pair_dev, warm = \
-            self._plan_arrays(f_len)
+        nums = payload.nums
+        clip_rgb = payload.clip_rgb
+        gray_np = payload.gray
+        native_hw = payload.native_hw
+        _ticks_rgb, ticks_dev, stack_dev, pair_dev, warm = \
+            self._plan_arrays(payload.f_len)
         gray_dev = None
-        native_hw = None  # (H, W) the gray grid was computed from
-        if cfg.host_gray:
-            # compact upload: ship only the 25 tick frames + uint8 gray at
-            # the flow grid (~4x fewer bytes than all 150 RGB frames) —
-            # upload-bound hosts (PCIe-starved or tunneled) are the e2e
-            # bottleneck once decode runs at target scale. EPE/retrieval
-            # gated vs the on-device gray path (tools/flow_quality.py
-            # --host_gray; docs/TUNING.md). The full-clip RGB stack is
-            # never materialized either (~300 MB of host memcpy per batch):
-            # ticks gather straight from the decode buffer, gray is
-            # computed per clip slice, and only GRAY pads to
-            # frames_per_clip for tail clips (one compiled geometry per
-            # batch size; pairs are planned from the real f_len and never
-            # index the padding).
-            fpc = cfg.frames_per_clip
-            h0, w0 = frames[group[0][0] - 1].shape[:2] if not is_arr \
-                else frames.shape[1:3]
-            native_hw = (int(h0), int(w0))
-            fh, fw = flow_grid_shape(h0, w0, self.flow_res_div)
-            gray_np = np.empty((len(group), fpc, fh, fw), np.uint8)
-            for i, (s, e) in enumerate(group):
-                if gray is not None:  # producer-precomputed per-frame gray
-                    gray_np[i, :f_len] = gray[s - 1:e]
-                else:
-                    gray_np[i, :f_len] = decode.gray_flow_grid(
-                        frames[s - 1:e], fh, fw)
-                if f_len < fpc:
-                    gray_np[i, f_len:] = gray_np[i, f_len - 1]
-            tick0 = ticks_rgb - 1
-            clip_rgb = np.stack([frame_gather(s - 1 + tick0)
-                                 for s, _e in group])
-            if cfg.host_crop:
-                # shrink the rgb payload further: cv2 resize (no-op under
-                # decode_at_target) + center crop on the host — the upload
-                # becomes [B, T, crop, crop, 3] (~42% fewer rgb bytes at
-                # production geometry); bit-identical to the device
-                # resize+crop when decode is at target scale (tested)
-                b_, t_ = clip_rgb.shape[:2]
-                clip_rgb = decode.resize_crop_frames(
-                    clip_rgb.reshape((b_ * t_,) + clip_rgb.shape[2:]),
-                    cfg.frame_resize, cfg.crop_size,
-                ).reshape(b_, t_, cfg.crop_size, cfg.crop_size, 3)
-                if cfg.host_yuv420:
-                    # halve the chroma payload: I420 is 1.5 B/px vs 3;
-                    # device reconstructs BGR (_yuv420_to_bgr). The
-                    # reference's own rgb inputs went through 4:2:0 JPEGs
-                    # (build_wof_clips.py:47, calcSig_wOF.py:92-93).
-                    cs = cfg.crop_size
-                    clip_rgb = decode.bgr_to_yuv420(
-                        clip_rgb.reshape(b_ * t_, cs, cs, 3),
-                    ).reshape(b_, t_, cs * 3 // 2, cs)
-        else:
-            gray_np = None
-            clip_rgb = np.stack([frame_range(s - 1, e)
-                                 for s, e in group])      # [B,F,H,W,3]
-            if f_len < cfg.frames_per_clip:
-                # pad tail clips to the full-clip frame count with repeats
-                # of the last frame: ticks/stacks/pairs are computed from
-                # the REAL f_len and never index the padding, so the
-                # embeddings are identical (tested) — but every tail length
-                # now reuses ONE compiled program geometry instead of
-                # compiling per length (multi-minute XLA compiles over the
-                # tunnel per new video)
-                rep = np.repeat(clip_rgb[:, -1:],
-                                cfg.frames_per_clip - f_len, axis=1)
-                clip_rgb = np.concatenate([clip_rgb, rep], axis=1)
         if gray_np is not None and self._frame_sharding is None:
             # both payloads are uint8: pack them into ONE transfer — each
             # host->device call pays ~1 s latency on tunneled backends
@@ -873,6 +870,16 @@ class Extractor:
         # (gather_signatures) — each np.asarray here costs ~35 ms of tunnel
         # readback per batch
         return ClipSignatures(nums, rgb_emb, flow_emb, self.tsn.rgb.splits)
+
+    def extract_videos(self, paths, workers: int = 0, new_size=None):
+        """Multi-video extraction with a multi-PROCESS decode producer
+        (pipeline/mpstream.py) — {path: [ClipSignatures]}. workers=0 picks
+        cpu_count-1. The multi-core rebirth of the reference's Pool over
+        videos (build_wof_clips.py:175-184)."""
+        from videoquery.pipeline.mpstream import extract_videos_mp
+
+        return extract_videos_mp(self, paths, workers=workers,
+                                 new_size=new_size)
 
     def _decode_size(self) -> tuple[int, int] | None:
         """(W, H) to decode at — frame_resize when decode_at_target (one
@@ -972,6 +979,10 @@ def main(argv=None) -> None:
                         "(1.5 B/px; the reference's own rgb inputs went "
                         "through 4:2:0 JPEGs) and reconstruct BGR on "
                         "device (ExtractionConfig.host_yuv420)")
+    p.add_argument("--workers", type=int, default=1,
+                   help="decode worker PROCESSES (>1: multi-core streaming "
+                        "producer, pipeline/mpstream.py; the reference's "
+                        "num_worker Pool, build_wof_clips.py:175-184)")
     args = p.parse_args(argv)
 
     from videoquery.core.jaxsetup import setup_jax
@@ -1028,6 +1039,27 @@ def main(argv=None) -> None:
         new_size = (args.new_width, args.new_height)
 
     ex = Extractor(tsn, cfg, warped=not args.no_warp, dtype=args.dtype)
+
+    if args.workers > 1 and len(videos) > 1:
+        # multi-core streaming producer: worker processes decode distinct
+        # videos while this process uploads/dispatches device batches
+        t0 = time.time()
+        by_path = ex.extract_videos(videos, workers=args.workers,
+                                    new_size=new_size)
+        for vid in videos:
+            name = os.path.splitext(os.path.basename(vid))[0]
+            sigs = by_path[vid]
+            if not sigs:
+                log.warning("%s: too short for any clip; skipped", name)
+                continue
+            ex.write_csv_tree(sigs, args.out, name, vid,
+                              modelname_fmt=args.modelname)
+        n_clips = sum(len(s.clip_numbers) for sg in by_path.values()
+                      for s in sg)
+        dt = time.time() - t0
+        print(f"{len(videos)} videos, {n_clips} clips in {dt:.1f}s "
+              f"({n_clips/dt:.2f} clips/s, {args.workers} decode workers)")
+        return
 
     # prefetch: decode video i+1 on a host thread while the device extracts
     # video i (cv2 decode is host-bound; extraction is device-bound)
