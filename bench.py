@@ -199,6 +199,8 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
         f"{rate:.2f} clips/s (decode-overlapped, 1 batch)")
 
     sustained = 0.0
+    mp_sustained = 0.0
+    mp_producer = 0.0
     if sustained_frames:
         long_video = os.path.join(tmp, "bench_long.mp4")
         decode.synthesize_video(long_video, n_frames=sustained_frames,
@@ -212,10 +214,67 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
         log(f"[e2e] sustained ({n_long} clips, "
             f"{(n_long + batch_clips - 1)//batch_clips} batches): {dt:.2f}s "
             f"= {sustained:.2f} clips/s")
+
+        # multi-process producer (pipeline/mpstream.py): 2 decode workers
+        # over 2 distinct videos feeding the one dispatcher. (a) aggregate
+        # PRODUCER ceiling — scales with cores on multi-core hosts; on a
+        # 1-core host it measures the honest non-scaling. (b) sustained
+        # e2e through the device.
+        long2 = os.path.join(tmp, "bench_long2.mp4")
+        decode.synthesize_video(long2, n_frames=sustained_frames, size=hw)
+        import multiprocessing as mp_mod
+
+        ctx = mp_mod.get_context("spawn")
+        q = ctx.Queue()
+        procs = [ctx.Process(target=_mp_producer_rate,
+                             args=(p, hw, host_gray, fh, fw, q))
+                 for p in (long_video, long2)]
+        for p in procs:
+            p.start()
+        # per-worker (frames, seconds) measured INSIDE the worker around
+        # its decode loop only — spawn startup (this host's sitecustomize
+        # preloads jax into every interpreter, ~5-10 s) is a fixed cost
+        # production amortizes, not part of the steady-state ceiling
+        rates = [q.get() for _ in procs]
+        for p in procs:
+            p.join()
+        mp_fps = sum(n / dt_ for n, dt_ in rates)
+        mp_producer = mp_fps / 150.0
+        log(f"[e2e] mp producer ceiling (2 workers, 2 videos, in-worker "
+            f"steady-state): {mp_fps:.0f} fps aggregate = "
+            f"{mp_producer:.1f} clips/s "
+            f"(1-worker ceiling {decode_rate:.1f}; "
+            f"{os.cpu_count()} host cores)")
+
+        t0 = time.time()
+        by_path = ex.extract_videos([long_video, long2], workers=2)
+        dt = time.time() - t0
+        n_mp = sum(len(s.clip_numbers) for sg in by_path.values()
+                   for s in sg)
+        mp_sustained = n_mp / dt
+        log(f"[e2e] mp sustained (2 workers, {n_mp} clips): {dt:.2f}s = "
+            f"{mp_sustained:.2f} clips/s (wall incl. ~5-10 s spawn startup "
+            f"per worker on this host)")
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    return rate, decode_rate, sustained
+    return rate, decode_rate, sustained, mp_sustained, mp_producer
+
+
+def _mp_producer_rate(path, hw, host_gray, fh, fw, q):
+    """Decode-worker body for the mp producer-ceiling measurement
+    (module-level: spawn targets must pickle)."""
+    import time as _t
+
+    from videoquery.pipeline import decode as _dec
+
+    t0 = _t.time()
+    n = 0
+    for f in _dec.video_frames(path, hw):
+        if host_gray:
+            _dec.gray_flow_grid(f[None], fh, fw)
+        n += 1
+    q.put((n, _t.time() - t0))
 
 
 def bench_query(n_segments: int = 1_000_000, dim: int = 1024, q: int = 16,
@@ -476,12 +535,16 @@ def main():
                                 warm_iters=args.warm_iters)
         metrics["extraction_device_clips_per_s_chip"] = round(rate, 3)
     if args.mode in ("e2e", "all"):
-        e2e_rate, decode_rate, sustained = bench_e2e(
-            batch_clips=args.batch_clips, host_gray=args.host_gray,
-            host_crop=args.host_crop, host_yuv420=args.host_yuv420)
+        e2e_rate, decode_rate, sustained, mp_sustained, mp_producer = \
+            bench_e2e(
+                batch_clips=args.batch_clips, host_gray=args.host_gray,
+                host_crop=args.host_crop, host_yuv420=args.host_yuv420)
         metrics["e2e_file_to_csvs_clips_per_s"] = round(e2e_rate, 3)
         metrics["e2e_sustained_clips_per_s"] = round(sustained, 3)
         metrics["host_producer_clips_per_s_ceiling"] = round(decode_rate, 3)
+        metrics["mp_producer_clips_per_s_2workers"] = round(mp_producer, 3)
+        metrics["e2e_mp_sustained_clips_per_s_2workers"] = \
+            round(mp_sustained, 3)
         if args.mode == "e2e":
             return emit("e2e_video_file_to_csvs_throughput",
                         round(e2e_rate, 3), "clips/s/chip",

@@ -215,25 +215,35 @@ def test_fused_inception_matches_xla(name, cin, hw, rng):
 
 def test_grad_source_warped_close_to_image(rng):
     """grad_source='warped' (differentiate the warped image; 1/3 the window
-    rolls) converges to the same flow as the classical linearization on
-    smooth content — interior values near-identical."""
+    rolls) must solve a REAL correspondence as accurately as the classical
+    linearization. (The original form of this test compared the two on a
+    pair of UNRELATED textures — meaningless under the round-4
+    intensity-scale lambda correction, where the data term is strong
+    enough to produce large non-matching fields on non-correspondence;
+    under the old 255x-weak lambda both returned ~zero flow and trivially
+    'matched'.)"""
     import dataclasses
 
     from videoquery.kernels.tvl1_pallas import tvl1_level_pallas
 
-    i0 = make_texture(rng, 32, 128)[None]
-    i1 = make_texture(rng, 32, 128)[None]
-    pi = TVL1Params(n_scales=1, n_warps=2, n_iters=15)
+    i0 = make_texture(rng, 32, 128)
+    i1 = jnp.asarray(np.roll(np.asarray(i0), 2, axis=1))  # exact 2-px shift
+    pi = TVL1Params(n_scales=1, n_warps=3, n_iters=25)
     pw = dataclasses.replace(pi, grad_source="warped")
     z = jnp.zeros((1, 32, 128))
     with pltpu.force_tpu_interpret_mode():
-        ui, vi = tvl1_level_pallas(i0, i1, z, z, pi, 6, 1)
-        uw, vw = tvl1_level_pallas(i0, i1, z, z, pw, 6, 1)
-    interior = (slice(None), slice(4, -4), slice(4, -4))
-    np.testing.assert_allclose(np.asarray(uw[interior]),
-                               np.asarray(ui[interior]), atol=5e-3)
-    np.testing.assert_allclose(np.asarray(vw[interior]),
-                               np.asarray(vi[interior]), atol=5e-3)
+        ui, vi = tvl1_level_pallas(i0[None], i1[None], z, z, pi, 6, 1)
+        uw, vw = tvl1_level_pallas(i0[None], i1[None], z, z, pw, 6, 1)
+    interior = (slice(None), slice(4, -4), slice(8, -8))
+    med_i = float(jnp.median(ui[interior]))
+    med_w = float(jnp.median(uw[interior]))
+    # both linearizations recover the 2-px shift...
+    assert abs(med_i - 2.0) < 0.35, med_i
+    assert abs(med_w - 2.0) < 0.35, med_w
+    # ...with comparable residual error over the interior
+    err_i = float(jnp.abs(ui[interior] - 2.0).mean())
+    err_w = float(jnp.abs(uw[interior] - 2.0).mean())
+    assert err_w < err_i + 0.25, (err_w, err_i)
 
 
 def test_warm_start_flow_recovers_translation(rng):

@@ -46,10 +46,30 @@ MOTION_CLASSES = [  # (object velocity, camera pan) — strongly distinct
                                  # between neighbor pairs, so any scheme
                                  # that reuses a neighbor's camera estimate
                                  # (warm-start shortcuts) is punished here
+    ((5.0, 1.5), "perspx"),      # camera PERSPECTIVE change about the
+                                 # vertical axis (dash-cam/drone motion):
+                                 # inexpressible by the affine model —
+                                 # gates TVL1Params.camera_model
+    ((-1.5, -5.0), "perspy"),    # perspective about the horizontal axis
 ]
 ZOOM_PER_FRAME = 0.004           # 0.4%/frame zoom-in
 JITTER_PAN = (1.5, 0.0)          # mean pan of the jitter class
 JITTER_STD = 1.25                # px/frame camera jitter (per axis)
+PERSP_RATE = 0.008               # perspective accumulation per frame (the
+                                 # h31/h32 term in normalized [-1,1] coords:
+                                 # ~0.7 px/frame of camera motion at the
+                                 # frame edge at w=176, quadratic profile)
+
+
+def _persp_mats(pan: str, t: float, h: int, w: int) -> "np.ndarray":
+    """Output-window px -> base px homography for the persp classes at
+    frame t (base is the 2h x 2w texture; window starts centered)."""
+    kx = PERSP_RATE if pan == "perspx" else 0.0
+    ky = PERSP_RATE if pan == "perspy" else 0.0
+    N = np.array([[2.0 / w, 0, -1], [0, 2.0 / h, -1], [0, 0, 1]])
+    C = np.array([[1, 0, 0], [0, 1, 0], [kx * t, ky * t, 1.0]])
+    T = np.array([[1, 0, w / 2.0], [0, 1, h / 2.0], [0, 0, 1]])
+    return T @ np.linalg.inv(N) @ C @ N
 
 
 def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
@@ -68,16 +88,47 @@ def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
     clips, labels, truths = [], [], []
     for ci, (obj_v, pan) in enumerate(MOTION_CLASSES):
         for rep in range(2):
-            base = rng.integers(0, 255, (h * 2, w * 2, 3), np.uint8)
-            k = 11 * scale + (1 - (11 * scale) % 2)  # odd kernel size
-            base = cv2.GaussianBlur(base, (k, k), 3 * scale)
-            obj = rng.integers(0, 255, (osz, osz, 3), np.uint8)
+            # CORPUS v3 (round 4): coherent multi-scale textures at full
+            # contrast. The original corpus Gaussian-blurred iid noise
+            # (std collapsed to ~5/255 at scale 2 — BELOW TV-L1's
+            # soft-threshold floor lambda*theta=0.045) and pasted an
+            # UNBLURRED-noise object (near-zero spatial correlation, so
+            # its motion is barely matchable at any speed). Measured
+            # consequence: the solver returned near-zero flow on the
+            # scale-2 corpus — a pure 3 px roll of a corpus frame solved
+            # to 0.46 px — so object EPE degenerated to the truth
+            # magnitude for EVERY config ("pinned ~10.4" was corpus
+            # texture, not the window clamp) and only background/relative
+            # comparisons carried signal. v3 textures have ~8-16 px
+            # features at real-video contrast, making absolute EPE
+            # meaningful; all gates were re-run on v3 (docs/TUNING.md).
+            def _texture(hh, ww, coarse=16, fine=4):
+                layers = []
+                for cell, wgt in ((coarse, 1.0), (fine, 0.5)):
+                    n_ = rng.random((hh // cell + 2, ww // cell + 2, 3))
+                    layers.append(wgt * cv2.resize(
+                        n_, (ww, hh), interpolation=cv2.INTER_CUBIC))
+                t = sum(layers)
+                t -= t.min()
+                return (t / max(t.max(), 1e-9) * 255).astype(np.uint8)
+
+            base = _texture(h * 2, w * 2, coarse=16 * scale,
+                            fine=4 * scale)
+            obj = _texture(osz, osz, coarse=8 * scale, fine=3 * scale)
             obj_xy = np.array([w * 0.25, h * 0.25]) + rng.uniform(0, 15 * scale, 2)
             fr, track, origins = [], [], []
             jitter = (rng.normal(0, JITTER_STD * scale, (frames, 2))
                       if pan == "jitter" else None)
+            persp_mats = []
             for t in range(frames):
-                if pan == "zoom":
+                if pan in ("perspx", "perspy"):
+                    M = _persp_mats(pan, t, h, w)
+                    persp_mats.append(M)
+                    f = cv2.warpPerspective(
+                        base, M.astype(np.float64), (w, h),
+                        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP)
+                    origins.append(None)
+                elif pan == "zoom":
                     # camera zoom-in about the window center
                     s = 1.0 + ZOOM_PER_FRAME * t
                     ch, cw = int(round(h / s)), int(round(w / s))
@@ -102,7 +153,7 @@ def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
             labels.append(ci)
             truths.append({"obj_v": obj_v, "pan": pan, "osz": osz,
                            "track": track, "origins": origins,
-                           "scale": scale})
+                           "scale": scale, "persp_mats": persp_mats})
     clips = np.stack(clips)
     labels = np.asarray(labels)
     if with_truth:
@@ -129,7 +180,15 @@ def truth_residual_flow(meta, t, h, w):
             or abs(py1 - py0) > abs(obj_v[1]) * scale + 1.5):
         return None
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
-    if pan == "zoom":
+    if pan in ("perspx", "perspy"):
+        # content at output x in frame t sits at base point M_t x; in frame
+        # t+1 it appears at M_{t+1}^-1 M_t x — the exact camera field
+        M0, M1 = meta["persp_mats"][t], meta["persp_mats"][t + 1]
+        P = np.linalg.inv(M1) @ M0
+        denom = P[2, 0] * xs + P[2, 1] * ys + P[2, 2]
+        cam_x = (P[0, 0] * xs + P[0, 1] * ys + P[0, 2]) / denom - xs
+        cam_y = (P[1, 0] * xs + P[1, 1] * ys + P[1, 2]) / denom - ys
+    elif pan == "zoom":
         s0 = 1.0 + ZOOM_PER_FRAME * t
         s1 = 1.0 + ZOOM_PER_FRAME * (t + 1)
         r = s1 / s0 - 1.0
@@ -162,7 +221,8 @@ def truth_residual_flow(meta, t, h, w):
 
 def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
                    warm_group=0, warm_camera="own", gray_matmul=False,
-                   host_gray="", warm_advect=0):
+                   host_gray="", warm_advect=0, only_pans=None,
+                   only_fast=0.0):
     """Mean/percentile endpoint error of a flow config against the corpus's
     known residual-motion fields, reproducing the production flow geometry
     (grayscale, lane-aligned reduced grid, value rescale — extract.py's
@@ -225,7 +285,14 @@ def epe_for_config(clips, truths, impl, tvl1, flow_res_div, margin=12,
     gts, valids, boxes, keep = [], [], [], []
     for ci in range(c):
         for t in range(f - 1):
-            gt = truth_residual_flow(truths[ci], t, h, w)
+            # only_pans / only_fast: restrict the error accounting to
+            # specific camera classes (the camera-model gate) or to
+            # object speeds above a px/frame bound (the rescue gate)
+            include = ((only_pans is None
+                        or truths[ci]["pan"] in only_pans)
+                       and np.hypot(*truths[ci]["obj_v"]) >= only_fast)
+            gt = (truth_residual_flow(truths[ci], t, h, w)
+                  if include else None)
             if gt is None:
                 gts.append(np.zeros((h, w, 2), np.float32))
                 valids.append(np.zeros((h, w), bool))
@@ -365,6 +432,19 @@ def main():
     ap.add_argument("--warm_iters", action="store_true",
                     help="sweep the warm-pair refinement iteration count "
                          "(TVL1Params.warm_iters) at the production config")
+    ap.add_argument("--final", action="store_true",
+                    help="round-4 production-candidate shootout: homography "
+                         "+ rescue, warm cam=own/key vs cold")
+    ap.add_argument("--rescue", action="store_true",
+                    help="gate the fast-motion escalation pass "
+                         "(TVL1Params.rescue_frac): re-solve clamp-"
+                         "saturated pairs at a doubled window; reports "
+                         "overall + fast-class-only EPE")
+    ap.add_argument("--camera", action="store_true",
+                    help="gate TVL1Params.camera_model: homography (8-param "
+                         "perspective, dense_flow's model class) vs the "
+                         "6-param affine at the full production config; "
+                         "reports overall + persp-class-only EPE")
     ap.add_argument("--host_gray", action="store_true",
                     help="gate the compact-upload host gray source "
                          "(cv2 uint8, ExtractionConfig.host_gray) against "
@@ -382,6 +462,10 @@ def main():
         "pallas half-res (production)": ("pallas", PRODUCTION_TVL1, 2),
         "pallas quarter-res": ("pallas", TVL1Params(fine_warps=2), 4),
     }
+    if args.scale >= 2:
+        # the XLA full-res gather-warp program faults the TPU worker on
+        # 16x30 256x352 frames (same reason res_sweep omits it)
+        configs.pop("baseline (xla full-res s5w5i30)", None)
     if args.res_sweep:
         # no XLA full-res baseline here: at --scale 2 that program faults
         # the TPU worker (full-res gather-warp over 16x30 256x352 frames);
@@ -428,13 +512,61 @@ def main():
     if args.warm_iters:
         import dataclasses as _dc
         configs = {
+            "cold (reference)": ("pallas", PRODUCTION_TVL1, 2),
             "warm_iters=fine (10)": (
                 "pallas", _dc.replace(PRODUCTION_TVL1, warm_iters=None),
                 2, 3, "key", True),
             "prod warm_iters=6": (
                 "pallas", PRODUCTION_TVL1, 2, 3, "key", True),
-            "warm_iters=4": (
-                "pallas", _dc.replace(PRODUCTION_TVL1, warm_iters=4),
+            "warm_iters=16": (
+                "pallas", _dc.replace(PRODUCTION_TVL1, warm_iters=16),
+                2, 3, "key", True),
+            "wi=16 cam=own": (
+                "pallas", _dc.replace(PRODUCTION_TVL1, warm_iters=16),
+                2, 3, "own", True),
+            "wi=16 warps2 cam=own": (
+                "pallas", _dc.replace(PRODUCTION_TVL1, warm_iters=16,
+                                      warm_warps=2),
+                2, 3, "own", True),
+        }
+    if args.final:
+        # round-4 production-candidate shootout under the corrected lambda:
+        # homography camera + rescue, warm cam=own vs cam=key vs cold
+        import dataclasses as _dc
+
+        H = _dc.replace(PRODUCTION_TVL1, camera_model="homography")
+        HR = _dc.replace(H, rescue_frac=0.125)
+        configs = {
+            "cold homog (quality ref)": ("pallas", H, 2, 0, "own", True),
+            "warm g3 own homog+rescue": ("pallas", HR, 2, 3, "own", True),
+            "warm g3 init homog+rescue": ("pallas", HR, 2, 3, "init", True),
+            "warm g3 key homog+rescue": ("pallas", HR, 2, 3, "key", True),
+            "warm g3 own affine+rescue": (
+                "pallas", _dc.replace(PRODUCTION_TVL1, rescue_frac=0.125),
+                2, 3, "own", True),
+        }
+    if args.rescue:
+        import dataclasses as _dc
+
+        configs = {
+            "prod (no rescue)": (
+                "pallas", PRODUCTION_TVL1, 2, 3, "key", True),
+            "rescue f=1/8": (
+                "pallas", _dc.replace(PRODUCTION_TVL1, rescue_frac=0.125),
+                2, 3, "key", True),
+            "rescue f=1/4": (
+                "pallas", _dc.replace(PRODUCTION_TVL1, rescue_frac=0.25),
+                2, 3, "key", True),
+        }
+    if args.camera:
+        import dataclasses as _dc
+
+        configs = {
+            "prod affine (ships)": (
+                "pallas", PRODUCTION_TVL1, 2, 3, "key", True),
+            "prod homography": (
+                "pallas",
+                _dc.replace(PRODUCTION_TVL1, camera_model="homography"),
                 2, 3, "key", True),
         }
     if args.host_gray:
@@ -451,6 +583,8 @@ def main():
                 "pallas", PRODUCTION_TVL1, 2, 3, "key", True, "linear"),
         }
     if args.sweep:
+        import dataclasses
+
         configs.update({
             "half-res s5w5i30 (conservative)": (
                 "pallas", TVL1Params(fine_warps=2), 2),
@@ -465,6 +599,17 @@ def main():
                                      n_iters=20, fine_iters=10), 2),
             "half-res full-window (no separable)": (
                 "pallas", TVL1Params(fine_warps=2, separable_warp=False), 2),
+            # cheaper candidates for the lambda-corrected regime (round 4):
+            # the stronger data term converges in fewer iterations
+            "half-res s4 w2 i12 fi8": (
+                "pallas", TVL1Params(n_scales=4, n_warps=2, fine_warps=2,
+                                     n_iters=12, fine_iters=8), 2),
+            "half-res s3 w2 i10 fi6": (
+                "pallas", TVL1Params(n_scales=3, n_warps=2, fine_warps=2,
+                                     n_iters=10, fine_iters=6), 2),
+            "prod sched grad=image": (
+                "pallas", dataclasses.replace(
+                    PRODUCTION_TVL1, grad_source="image"), 2),
         })
     accs = {name: [] for name in configs}
     epes = {name: [] for name in configs}
@@ -498,6 +643,21 @@ def main():
                 line += (f"  EPE mean {e['epe_mean']:.3f} p90 "
                          f"{e['epe_p90']:.3f} obj {e['epe_obj']:.3f} "
                          f"bg {e['epe_bg']:.3f}")
+                if args.camera:
+                    ep = epe_for_config(clips, truths, impl, tvl1, div,
+                                        warm_group=wg, warm_camera=wc,
+                                        gray_matmul=gm, host_gray=hg,
+                                        warm_advect=wa,
+                                        only_pans=("perspx", "perspy"))
+                    line += (f"  persp-only mean {ep['epe_mean']:.3f} "
+                             f"bg {ep['epe_bg']:.3f}")
+                if args.rescue:
+                    ef = epe_for_config(clips, truths, impl, tvl1, div,
+                                        warm_group=wg, warm_camera=wc,
+                                        gray_matmul=gm, host_gray=hg,
+                                        warm_advect=wa, only_fast=8.5)
+                    line += (f"  fast-only obj {ef['epe_obj']:.3f} "
+                             f"mean {ef['epe_mean']:.3f}")
             print(line, flush=True)
     if len(args.seeds) > 1:
         print("-- mean over seeds", args.seeds)

@@ -179,15 +179,15 @@ class ExtractionConfig:
     # cutting ~45% of TV-L1 cost (tools/flow_quality.py --warm;
     # tools/flow_bench.py --warm; docs/TUNING.md).
     flow_warm_group: int = 3
-    # Camera estimation for warm pairs: "key" (production — reuse the
-    # keyframe pair's affine, skipping the per-pair translation+LK pass) or
-    # "own" (each warm pair estimates its own affine). "key" passed the
-    # jitter-augmented EPE gate at both corpus scales (tools/flow_quality.py
-    # --warm: scale 1 EPE 0.231 vs cold 0.232 with retrieval 0.667 vs
-    # 0.650; scale 2 EPE 0.391 vs 0.392, retrieval equal — camera motion is
-    # coherent across the ~0.12 s a group of 3 pairs spans, and the
-    # keyframe's affine is itself estimated from the same coarse grid).
-    flow_warm_camera: str = "key"
+    # Camera estimation for warm pairs: "own" (production since round 4 —
+    # each warm pair estimates its own camera) or "key" (reuse the keyframe
+    # pair's estimate, skipping the per-pair translation+LK pass). "key"
+    # passed the round-3 gate only because the intensity-scale lambda bug
+    # (kernels/tvl1.py) made the data term ~255x too weak to expose the
+    # stale-camera residual; under the corrected lambda on corpus v3,
+    # cam=key costs +0.08-0.09 EPE over cam=own at every warm_iters setting
+    # (tools/flow_quality.py --warm_iters / --final; docs/TUNING.md).
+    flow_warm_camera: str = "own"
     # Fold the grayscale channel dot into the flow-grid bilinear resize as
     # bf16 MXU matmuls (exact resize matrices extracted from
     # jax.image.resize; 10.5 -> 4.5 ms per 8-clip batch). Gray perturbation
@@ -249,11 +249,11 @@ class ExtractionConfig:
     stream_window_batches: int = 3
 
     def __post_init__(self):
-        if self.flow_warm_camera not in ("key", "own"):
+        if self.flow_warm_camera not in ("key", "own", "init"):
             # silently treating a typo ("Key", "keyframe") as "own" would
             # quietly drop the ~45% TV-L1 saving the knob documents
             raise ValueError(
-                f"flow_warm_camera must be 'key' or 'own'; "
+                f"flow_warm_camera must be 'key', 'own' or 'init'; "
                 f"got {self.flow_warm_camera!r}")
         if self.host_crop and not self.host_gray:
             # without host_gray the device needs ALL frames for gray/flow;

@@ -186,6 +186,124 @@ def lk_affine(
     ])
 
 
+def homography_params(Hn: jax.Array) -> jax.Array:
+    """[..., 3, 3] normalized homography (H22 == 1) -> the 8-vector p used
+    by lk_homography_batch's parameterization."""
+    return jnp.stack([
+        Hn[..., 0, 0] - 1.0, Hn[..., 0, 1], Hn[..., 0, 2],
+        Hn[..., 1, 0], Hn[..., 1, 1] - 1.0, Hn[..., 1, 2],
+        Hn[..., 2, 0], Hn[..., 2, 1],
+    ], axis=-1)
+
+
+def lk_homography_batch(
+    c0: jax.Array,            # [N, H, W]
+    c1: jax.Array,            # [N, H, W], pre-translated
+    warp_fn=None,             # ([N,H,W], u, v) -> warped [N,H,W]
+    n_iters: int = 8,
+    huber_delta: float = 3.0,
+    p0: jax.Array | None = None,  # [N, 8] warm-start params (a neighbor's
+                                  # fit); skips the from-zero convergence
+) -> jax.Array:
+    """Batched direct 8-param homography alignment (lk_affine_batch's two
+    extra Gauss-Newton columns — the perspective terms dense_flow's
+    SURF+RANSAC homography carries and an affine cannot,
+    build_wof_clips.py:70-73).
+
+    Parameterization is projective in NORMALIZED coords xn = 2x/W - 1:
+        [xs, ys, s] = Hn @ [xn, yn, 1],  src_n = (xs/s, ys/s)
+        Hn = [[1+p0, p1, p2], [p3, 1+p4, p5], [p6, p7, 1]]
+    Returns Hn [N, 3, 3] — resolution-independent: apply on ANY grid
+    covering the same field of view via homography_displacement (zoom,
+    rotation, pan all remain exact sub-cases with p6 = p7 = 0)."""
+    n, h, w = c0.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sxn, syn = 2.0 / w, 2.0 / h
+    xn = xs * sxn - 1.0
+    yn = ys * syn - 1.0
+    gy = jnp.gradient(c0, axis=1)
+    gx = jnp.gradient(c0, axis=2)
+    # steepest-descent images at p=0 — displacement is in normalized units,
+    # pixel-valued residual gradients chain through 1/sxn (resp. 1/syn)
+    gxp = gx / sxn
+    gyp = gy / syn
+    sd = jnp.stack([
+        gxp * xn, gxp * yn, gxp,
+        gyp * xn, gyp * yn, gyp,
+        -(gxp * xn * xn + gyp * xn * yn),   # d/dp6
+        -(gxp * xn * yn + gyp * yn * yn),   # d/dp7
+    ], axis=1)                               # [N, 8, H, W]
+
+    if warp_fn is None:
+        from videoquery.kernels.warp import bilinear_sample
+
+        def warp_fn(img, u, v):
+            return jax.vmap(lambda im, uu, vv: bilinear_sample(
+                im, ys + vv, xs + uu))(img, u, v)
+
+    def disp(p):
+        """(u, v) pixel displacement fields from params [N, 8]."""
+        num_x = ((1.0 + p[:, 0, None, None]) * xn + p[:, 1, None, None] * yn
+                 + p[:, 2, None, None])
+        num_y = (p[:, 3, None, None] * xn + (1.0 + p[:, 4, None, None]) * yn
+                 + p[:, 5, None, None])
+        den = p[:, 6, None, None] * xn + p[:, 7, None, None] * yn + 1.0
+        u = (num_x / den - xn) / sxn
+        v = (num_y / den - yn) / syn
+        return u, v
+
+    def body(p, _):
+        u, v = disp(p)
+        r = warp_fn(c1, u, v) - c0
+        absr = jnp.abs(r)
+        thresh = (huber_delta
+                  * jnp.median(absr[:, ::2, ::2], axis=(1, 2), keepdims=True)
+                  + 1e-6)
+        wgt = jnp.minimum(1.0, thresh / (absr + 1e-8))
+        sw = sd * wgt[:, None]
+        hess = jnp.einsum("nihw,njhw->nij", sw, sd) + 1e-6 * jnp.eye(8)
+        b = jnp.einsum("nihw,nhw->ni", sw, r)
+        delta = jnp.linalg.solve(hess, b[..., None])[..., 0]
+        return p - delta, None
+
+    init = jnp.zeros((n, 8)) if p0 is None else p0
+    p, _ = jax.lax.scan(body, init, None, length=n_iters)
+    row0 = jnp.stack([1.0 + p[:, 0], p[:, 1], p[:, 2]], axis=1)
+    row1 = jnp.stack([p[:, 3], 1.0 + p[:, 4], p[:, 5]], axis=1)
+    row2 = jnp.stack([p[:, 6], p[:, 7], jnp.ones_like(p[:, 0])], axis=1)
+    return jnp.stack([row0, row1, row2], axis=1)       # [N, 3, 3]
+
+
+def homography_translate(Hn: jax.Array, tx, ty, w: int, h: int) -> jax.Array:
+    """Compose a PIXEL translation (applied after the homography) into Hn:
+    total displacement = disp(Hn) + (tx, ty). In normalized units a
+    constant shift adds t_n * denominator to the numerator rows."""
+    txn = tx * (2.0 / w)
+    tyn = ty * (2.0 / h)
+    Hn = Hn.at[..., 0, :].add(txn[..., None] * Hn[..., 2, :])
+    return Hn.at[..., 1, :].add(tyn[..., None] * Hn[..., 2, :])
+
+
+def homography_displacement(Hn: jax.Array, h: int, w: int):
+    """Pixel displacement fields (u [.., H, W], v) of normalized-coords
+    homographies Hn [..., 3, 3] evaluated on an (h, w) grid covering the
+    same [-1, 1]^2 field of view (resolution/anisotropy independent)."""
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sxn, syn = 2.0 / w, 2.0 / h
+    xn = xs * sxn - 1.0
+    yn = ys * syn - 1.0
+    lead = Hn.shape[:-2]
+    H = Hn.reshape(lead + (3, 3, 1, 1))
+    num_x = H[..., 0, 0, :, :] * xn + H[..., 0, 1, :, :] * yn + H[..., 0, 2, :, :]
+    num_y = H[..., 1, 0, :, :] * xn + H[..., 1, 1, :, :] * yn + H[..., 1, 2, :, :]
+    den = H[..., 2, 0, :, :] * xn + H[..., 2, 1, :, :] * yn + H[..., 2, 2, :, :]
+    u = (num_x / den - xn) / sxn
+    v = (num_y / den - yn) / syn
+    return u, v
+
+
 def lk_affine_batch(
     c0: jax.Array,            # [N, H, W]
     c1: jax.Array,            # [N, H, W], pre-translated

@@ -35,7 +35,17 @@ from videoquery.kernels.warp import bilinear_sample, warp_affine
 @dataclasses.dataclass(frozen=True)
 class TVL1Params:
     tau: float = 0.25           # dual time step
-    lambda_: float = 0.15       # data attachment weight
+    # Data attachment weight, INTENSITY-SCALE-CORRECTED (round 4). The
+    # classical value 0.15 (IPOL/OpenCV, what dense_flow ran) assumes
+    # 8-bit [0, 255] images; this pipeline feeds [0, 1] gray, where the
+    # TV-L1 prox threshold lambda*theta*|grad I|^2 scales with intensity^2
+    # — at lambda=0.15 the data term was ~255x weaker than the
+    # reference's, and the solver recovered only ~0.7 px of ANY rigid
+    # shift on realistic-contrast textures (a pure 3 px roll solved to
+    # 0.46 px). 0.15 * 255 = 38.25 reproduces OpenCV's balance exactly:
+    # rigid shifts 1-8 px now solve to <=0.14 px mean error at the
+    # production schedule (tools/flow_quality.py corpus v3; TUNING.md).
+    lambda_: float = 38.25
     theta: float = 0.3          # tightness
     n_scales: int = 5
     n_warps: int = 5
@@ -57,6 +67,10 @@ class TVL1Params:
     # than a cold fine level. Sweep with tools/flow_quality.py --warm_iters
     # (EPE + retrieval gated) before changing in production.
     warm_iters: int | None = None
+    # Warp passes for a warm-started pair's refinement (finest level only).
+    # 1 ships; 2 re-linearizes once more — sweep with
+    # tools/flow_quality.py --warm_iters under the corrected lambda.
+    warm_warps: int = 1
     # Pallas path only: factorize the bilinear window warp into a vertical
     # then a horizontal pass (2*nwin roll terms instead of nwin^2). Exact
     # where the flow is locally constant over the window; the TV prior keeps
@@ -69,6 +83,23 @@ class TVL1Params:
     # retrieval gate while (32, 48) cliffs (tools/flow_quality.py
     # --res_sweep) — heights below ~48 under-resolve the pan classes.
     coarse_hw: tuple[int, int] = (48, 64)
+    # Fast-motion escalation (Pallas pair path): pairs whose solved flow
+    # saturates the finest-level clamp (|u| or |v| near max_disp) are
+    # re-solved in a second batched dispatch with a DOUBLED window at every
+    # pyramid level — the top `rescue_frac` fraction of pairs, under a
+    # lax.cond so an ordinary corpus (nothing saturated) pays only the
+    # per-pair peak reduction. 0 disables. The ±16 native-px ceiling this
+    # lifts was the measured EPE floor on the two >10 px/frame corpus
+    # classes (docs/TUNING.md res-sweep; VERDICT r3 #6).
+    rescue_frac: float = 0.0
+    # trigger: per-pair p98 |flow| >= rescue_trigger * max_disp
+    rescue_trigger: float = 0.9
+    # Camera-motion model for the warped variant: "affine" (6-param LK fit;
+    # pan + zoom + rotation/shear) or "homography" (8 params — adds the two
+    # perspective columns, matching dense_flow's SURF+RANSAC homography
+    # model, build_wof_clips.py:70-73). Gate with tools/flow_quality.py's
+    # perspective classes before switching production.
+    camera_model: str = "affine"
     # Gradient linearization source (Pallas separable path only):
     # "image" (default) warps I1, I1x, I1y separately — the classical
     # TV-L1 linearization (OpenCV/IPOL); "warped" warps only I1 and takes
@@ -250,6 +281,25 @@ def tvl1_warped_flow(
         return jnp.roll(jnp.roll(im, -ti[1], axis=0), -ti[0], axis=1)
 
     c1t = jax.vmap(roll_one)(c1, t)
+    if params.camera_model == "homography":
+        from videoquery.kernels.motion import (homography_displacement,
+                                               homography_translate,
+                                               lk_homography_batch)
+
+        Hn = lk_homography_batch(c0, c1t, n_iters=6)
+        Hn = homography_translate(Hn, t[:, 0].astype(jnp.float32),
+                                  t[:, 1].astype(jnp.float32),
+                                  coarse_hw[1], coarse_hw[0])
+        h, w = I0.shape[1:]
+        du, dv = homography_displacement(Hn, h, w)
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+        def one_h(i0, i1, u, v):
+            i1w = bilinear_sample(i1, ys + v, xs + u)
+            return _tvl1_single(i0, i1w, params)
+
+        return jax.vmap(one_h)(I0, I1, du, dv)
     A = lk_affine_batch(c0, c1t, n_iters=6)
     A = A.at[:, 0, 2].add(t[:, 0].astype(jnp.float32))
     A = A.at[:, 1, 2].add(t[:, 1].astype(jnp.float32))

@@ -519,10 +519,64 @@ def tvl1_flow_pallas(
     return u, v
 
 
+def _rollwindow_warp_fields(img, du, dv, d: int = 4):
+    """Warp img by arbitrary-magnitude displacement fields: per-pair
+    integer roll by the field's center value + window warp for the
+    residual (gather-free; residual must stay within ±d, true for global
+    camera fields whose variation across the frame is small)."""
+    tx = jnp.round(du[:, du.shape[1] // 2, du.shape[2] // 2]).astype(jnp.int32)
+    ty = jnp.round(dv[:, dv.shape[1] // 2, dv.shape[2] // 2]).astype(jnp.int32)
+
+    def roll_one(im, tx_, ty_):
+        return jnp.roll(jnp.roll(im, -ty_, axis=0), -tx_, axis=1)
+
+    rolled = jax.vmap(roll_one)(img, tx, ty)
+    return window_warp_pallas(rolled, du - tx[:, None, None].astype(du.dtype),
+                              dv - ty[:, None, None].astype(dv.dtype), d)
+
+
+def _homography_warp_rollwindow(img, Hn, d: int = 4):
+    """Global-homography warp without gathers — the projective analogue of
+    _affine_warp_rollwindow. img [N, H, W], Hn [N, 3, 3] normalized-coords
+    homography (kernels.motion.lk_homography_batch)."""
+    from videoquery.kernels.motion import homography_displacement
+
+    n, h, w = img.shape
+    du, dv = homography_displacement(Hn, h, w)            # [N, h, w] px
+    return _rollwindow_warp_fields(img, du, dv, d)
+
+
+def refine_camera(I0: jax.Array, I1: jax.Array, p: TVL1Params,
+                  coarse_hw: tuple[int, int] | None, Hn0: jax.Array,
+                  n_iters: int = 3) -> jax.Array:
+    """Refine a NEIGHBOR pair's camera homography on this pair: no
+    translation pre-pass, LK warm-started at Hn0's parameters — the cheap
+    middle ground between reusing the key's camera verbatim (stale:
+    +0.08 EPE under the corrected lambda) and a full per-pair estimate
+    (translation conv + 6 LK iters). The LK warp rolls by the field's
+    center displacement so arbitrarily large pans stay inside the ±4
+    residual window."""
+    from videoquery.kernels.motion import (homography_params,
+                                           lk_homography_batch)
+
+    coarse_hw = coarse_hw or p.coarse_hw
+    c0 = _resize2(I0, coarse_hw)
+    c1 = _resize2(I1, coarse_hw)
+    return lk_homography_batch(
+        c0, c1, warp_fn=lambda img, u, v: _rollwindow_warp_fields(img, u, v),
+        n_iters=n_iters, p0=homography_params(Hn0))
+
+
 def estimate_camera(I0: jax.Array, I1: jax.Array, p: TVL1Params,
                     coarse_hw: tuple[int, int] | None) -> jax.Array:
-    """Per-pair global camera motion as an affine displacement field
-    A [N, 2, 3] in native coords (apply with apply_camera).
+    """Per-pair global camera motion (apply with apply_camera):
+    p.camera_model == "affine"     -> A [N, 2, 3] displacement affine in
+                                      I0's coords (the default), or
+    p.camera_model == "homography" -> Hn [N, 3, 3] normalized-coords
+                                      homography (8 params — dense_flow's
+                                      model class, build_wof_clips.py:70-73;
+                                      adds the two perspective columns an
+                                      affine cannot express).
 
     Global motion = integer translation from one MXU cross-correlation
     (robust to pans of ANY size up to the correlation window — iterative
@@ -538,7 +592,9 @@ def estimate_camera(I0: jax.Array, I1: jax.Array, p: TVL1Params,
     synthetic zoom."""
     from videoquery.kernels.motion import (affine_to_native_coords,
                                            global_translation,
-                                           lk_affine_batch)
+                                           homography_translate,
+                                           lk_affine_batch,
+                                           lk_homography_batch)
 
     coarse_hw = coarse_hw or p.coarse_hw
     c0 = _resize2(I0, coarse_hw)
@@ -552,10 +608,15 @@ def estimate_camera(I0: jax.Array, I1: jax.Array, p: TVL1Params,
         return jnp.roll(jnp.roll(im, -ti[1], axis=0), -ti[0], axis=1)
 
     c1t = jax.vmap(roll_one)(c1, t)
-    A = lk_affine_batch(
-        c0, c1t,
-        warp_fn=lambda img, u, v: window_warp_pallas(img, u, v, d=4),
-        n_iters=6)
+    warp_fn = lambda img, u, v: window_warp_pallas(img, u, v, d=4)  # noqa: E731
+    if p.camera_model == "homography":
+        Hn = lk_homography_batch(c0, c1t, warp_fn=warp_fn, n_iters=6)
+        # fold the integer pre-translation in (normalized coords are
+        # resolution-independent: Hn applies on ANY grid of the same FoV)
+        return homography_translate(Hn, t[:, 0].astype(jnp.float32),
+                                    t[:, 1].astype(jnp.float32),
+                                    coarse_hw[1], coarse_hw[0])
+    A = lk_affine_batch(c0, c1t, warp_fn=warp_fn, n_iters=6)
     # add the integer translation, scale VALUES (coarse px -> native px per
     # axis), then convert the fit's coarse COORDS to native coords
     A = A.at[:, 0, 2].add(t[:, 0].astype(jnp.float32))
@@ -565,8 +626,11 @@ def estimate_camera(I0: jax.Array, I1: jax.Array, p: TVL1Params,
 
 
 def apply_camera(I1: jax.Array, A: jax.Array) -> jax.Array:
-    """Warp I1 by the affine camera field A (integer-roll translation +
-    window warp for the residual — gather-free)."""
+    """Warp I1 by the camera field (integer-roll translation + window warp
+    for the residual — gather-free). A [N, 2, 3] = affine displacement in
+    I1's coords; [N, 3, 3] = normalized-coords homography."""
+    if A.shape[-2] == 3:
+        return _homography_warp_rollwindow(I1, A, d=4)
     return _affine_warp_rollwindow(I1, A, d=4)
 
 
@@ -656,7 +720,8 @@ def tvl1_flow_pallas_warm(
 
 @functools.partial(jax.jit,
                    static_argnames=("p", "max_disp", "coarse_hw", "levels",
-                                    "pairs_per_program"))
+                                    "pairs_per_program",
+                                    "cam_refine_iters"))
 def tvl1_warped_flow_pallas_warm(
     I0: jax.Array,
     I1: jax.Array,
@@ -668,16 +733,21 @@ def tvl1_warped_flow_pallas_warm(
     levels: int = 1,
     pairs_per_program: int = 1,
     A: jax.Array | None = None,
+    cam_refine_iters: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Warm-started warped variant. By default each pair still gets its OWN
     camera compensation (camera motion changes per pair); only the
     residual-flow solve is warm-started from the neighbor's residual.
-    Passing A [N, 2, 3] (e.g. the keyframe pair's estimate) skips the
-    estimation and reuses it — gate with the jitter-class EPE before using
-    (tools/flow_quality.py)."""
+    Passing A (e.g. the keyframe pair's estimate) skips the estimation and
+    reuses it; with cam_refine_iters > 0 and a homography A, the key's
+    estimate is instead REFINED on this pair with that many warm-started
+    LK iterations (ExtractionConfig.flow_warm_camera="init")."""
     if A is None:
         i1w = _camera_compensate(I0, I1, p, coarse_hw)
     else:
+        if cam_refine_iters > 0 and A.shape[-2] == 3:
+            A = refine_camera(I0, I1, p, coarse_hw, A,
+                              n_iters=cam_refine_iters)
         i1w = apply_camera(I1, A)
     return tvl1_flow_pallas_warm(I0, i1w, u0, v0, p, max_disp=max_disp,
                                  levels=levels,

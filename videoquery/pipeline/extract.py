@@ -43,20 +43,30 @@ from videoquery.pipeline.sampling import (clip_ranges, flow_pair_plan,
                                           flow_warm_plan,
                                           frame_ticks)
 
+# jax-free host-side payload machinery (worker processes import THAT module
+# directly to avoid the jax import; re-exported here for the device side)
+from videoquery.pipeline.payload import (BatchPayload, build_payload,  # noqa: F401
+                                         flow_grid_shape, plan_groups,
+                                         stream_payloads)
+
 log = logging.getLogger(__name__)
 
-# Production flow schedule: 4 pyramid levels, 3 warps (2 at the finest two
-# levels), 20 iters (10 fine; 6 for a warm-started pair's refinement warp),
-# gradients from the warped image — the best-scoring config on 3-seed
-# motion-partner retrieval at BOTH corpus scales (>= the faithful full-res
-# 5s/5w/30i baseline, fast-motion scenes included) and also the fastest
-# (tools/flow_quality.py --sweep/--res_sweep/--warm_iters; warm_iters=6 is
-# EPE-identical and retrieval-equal at scale 1, retrieval-better at scale 2
-# vs warm_iters=10; docs/TUNING.md). tools/flow_quality.py imports this so
-# its quality gate always measures what actually ships.
+# Production flow schedule (re-gated in round 4 on corpus v3 under the
+# intensity-scale-corrected lambda — docs/TUNING.md): 4 pyramid levels,
+# 3 warps (2 at the finest two levels), 20 iters (10 fine; 6 for a warm
+# pair's refinement warp), gradients from the warped image; camera model =
+# HOMOGRAPHY (dense_flow's model class — persp-class EPE 2.3-2.8x better
+# than affine, everything else equal-or-better); fast-motion rescue ON
+# (clamp-saturated pairs re-solved at a doubled window under lax.cond —
+# zero-cost on batches with no saturation). Shootout (--final, 3 seeds,
+# scale 2): this config EPE 0.259 vs 0.522 for the round-3 ship and 0.196
+# for cold full-solve, retrieval 0.917 (best). tools/flow_quality.py
+# imports this so its quality gate always measures what actually ships.
 PRODUCTION_TVL1 = TVL1Params(n_scales=4, n_warps=3, fine_warps=2,
                              n_iters=20, fine_iters=10, warm_iters=6,
-                             grad_source="warped")
+                             grad_source="warped",
+                             camera_model="homography",
+                             rescue_frac=0.125)
 
 
 def default_flow_impl() -> str:
@@ -114,8 +124,54 @@ def warm_tvl1_params(tvl1: TVL1Params) -> TVL1Params:
     # budget to the inherited fine_iters, silently capping warm_iters
     # sweep values above it.
     return dataclasses.replace(
-        tvl1, n_warps=1, fine_warps=1, fine_iters=None,
+        tvl1, n_warps=tvl1.warm_warps, fine_warps=tvl1.warm_warps,
+        fine_iters=None,
         n_iters=tvl1.warm_iters or tvl1.fine_iters or tvl1.n_iters)
+
+
+def _rescue_fast_motion(i0, i1, u, v, warped: bool, tvl1: TVL1Params,
+                        max_disp: int = 8):
+    """Second-chance solve for clamp-saturated pairs (TVL1Params.rescue_*).
+
+    The finest-level window clamps flow to ±max_disp grid px (±16 native px
+    at the production half-res grid) — the measured EPE floor on >10
+    px/frame motion (docs/TUNING.md res-sweep). Pairs whose solved flow
+    saturates the clamp are re-solved cold with a DOUBLED window at every
+    pyramid level, fully batched on a top-k bucket of static size, under a
+    lax.cond so batches with no fast motion skip the extra dispatch
+    entirely (TPU conditionals execute only the taken branch).
+
+    i0/i1: f32 [N, h, w] raw (un-warped) pair images; u/v: the solved flow
+    [N, h, w]. Returns (u, v) with rescued pairs replaced."""
+    from videoquery.kernels.tvl1_pallas import (tvl1_flow_pallas,
+                                                tvl1_warped_flow_pallas)
+
+    n, h, w = u.shape
+    k = max(1, int(round(n * tvl1.rescue_frac)))
+    # robust per-pair peak at reduction cost (jnp.percentile sorts the
+    # whole field — ~2-4 ms/batch): max of 4x4-average-pooled |flow| only
+    # triggers when a whole 4x4 region sustains the magnitude, which
+    # speckle outliers cannot
+    mag = jnp.maximum(jnp.abs(u), jnp.abs(v))
+    pooled = mag[:, :h // 4 * 4, :w // 4 * 4].reshape(
+        n, h // 4, 4, w // 4, 4).mean(axis=(2, 4))
+    peak = pooled.reshape(n, -1).max(axis=1)
+    trig = peak >= tvl1.rescue_trigger * max_disp
+
+    def rescue(uv):
+        u_, v_ = uv
+        _vals, idx = jax.lax.top_k(peak, k)
+        i0k = jnp.take(i0, idx, axis=0)
+        i1k = jnp.take(i1, idx, axis=0)
+        wide_fn = tvl1_warped_flow_pallas if warped else tvl1_flow_pallas
+        uw, vw = wide_fn(i0k, i1k, tvl1, max_disp=2 * max_disp,
+                         pairs_per_program=4)
+        sel = jnp.take(trig, idx)[:, None, None]
+        u2 = u_.at[idx].set(jnp.where(sel, uw, jnp.take(u_, idx, axis=0)))
+        v2 = v_.at[idx].set(jnp.where(sel, vw, jnp.take(v_, idx, axis=0)))
+        return u2, v2
+
+    return jax.lax.cond(jnp.any(trig), rescue, lambda uv: uv, (u, v))
 
 
 def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
@@ -157,20 +213,26 @@ def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
     if warm_plan is None or warm_plan[1].shape[0] == 0:
         u, v = flow_fn(i0.reshape(b * p, h, w), i1.reshape(b * p, h, w),
                        tvl1, pairs_per_program=4)
+        if tvl1.rescue_frac > 0:
+            u, v = _rescue_fast_motion(i0.reshape(b * p, h, w),
+                                       i1.reshape(b * p, h, w), u, v,
+                                       warped, tvl1)
         return u.reshape(b, p, h, w), v.reshape(b, p, h, w)
 
     key_pos, warm_pos, warm_src = warm_plan
     k = key_pos.shape[0]
     m = warm_pos.shape[0]
-    use_key_cam = warped and warm_camera == "key"
+    use_key_cam = warped and warm_camera in ("key", "init")
     i0k = jnp.take(i0, key_pos, axis=1).reshape(b * k, h, w)
     i1k = jnp.take(i1, key_pos, axis=1).reshape(b * k, h, w)
     a_warm = None
     if use_key_cam:
         uk, vk, ak = tvl1_warped_flow_pallas_cam(i0k, i1k, tvl1,
                                                  pairs_per_program=4)
-        ak = ak.reshape(b, k, 2, 3)
-        a_warm = jnp.take(ak, warm_src, axis=1).reshape(b * m, 2, 3)
+        # ak is [b*k, 2, 3] (affine) or [b*k, 3, 3] (homography model)
+        cam_shape = ak.shape[1:]
+        ak = ak.reshape((b, k) + cam_shape)
+        a_warm = jnp.take(ak, warm_src, axis=1).reshape((b * m,) + cam_shape)
     else:
         uk, vk = flow_fn(i0k, i1k, tvl1, pairs_per_program=4)
     uk = uk.reshape(b, k, h, w)
@@ -199,7 +261,8 @@ def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
     if warped:
         uw, vw = tvl1_warped_flow_pallas_warm(
             i0w, i1w, u0, v0, warm_tvl1_params(tvl1), pairs_per_program=4,
-            A=a_warm)
+            A=a_warm,
+            cam_refine_iters=3 if warm_camera == "init" else 0)
     else:
         uw, vw = tvl1_flow_pallas_warm(
             i0w, i1w, u0, v0, warm_tvl1_params(tvl1), pairs_per_program=4)
@@ -207,6 +270,13 @@ def _pair_flow_uv(gray: jax.Array, pair_idx: jax.Array, warped: bool,
     v = jnp.zeros((b, p, h, w), vk.dtype)
     u = u.at[:, key_pos].set(uk).at[:, warm_pos].set(uw.reshape(b, m, h, w))
     v = v.at[:, key_pos].set(vk).at[:, warm_pos].set(vw.reshape(b, m, h, w))
+    if tvl1.rescue_frac > 0:
+        uf, vf = _rescue_fast_motion(i0.reshape(b * p, h, w),
+                                     i1.reshape(b * p, h, w),
+                                     u.reshape(b * p, h, w),
+                                     v.reshape(b * p, h, w), warped, tvl1)
+        u = uf.reshape(b, p, h, w)
+        v = vf.reshape(b, p, h, w)
     return u, v
 
 
@@ -250,21 +320,6 @@ def _ensemble_embed(params, x_flat: jax.Array, mesh=None) -> jax.Array:
         in_specs=(P(MODEL_AXIS), P(DATA_AXIS)),
         out_specs=P(MODEL_AXIS, DATA_AXIS),
     )(params, x_flat)
-
-
-def flow_grid_shape(h0: int, w0: int, flow_res_div: int) -> tuple[int, int]:
-    """(fh, fw) of the reduced flow grid for native frames of (h0, w0).
-    Heights snap to multiples of 8 (sublane tile); widths >= 128 snap down
-    to lane-tile multiples (a 170-wide grid pads to 256 lanes inside every
-    Pallas roll — 1.5x wasted VPU work; 128 is pad-free). Shared by the
-    on-device gray path (_flow_gray_grid) and the host-gray upload path
-    (decode.gray_flow_grid) so both produce the same program geometry."""
-    if flow_res_div <= 1:
-        return h0, w0
-    fh = max(8, (h0 // flow_res_div) // 8 * 8)
-    fw0 = w0 // flow_res_div
-    fw = (fw0 // 128 * 128) if fw0 >= 128 else fw0
-    return fh, fw
 
 
 def _yuv420_to_bgr(yuv: jax.Array) -> jax.Array:
@@ -472,154 +527,6 @@ class BatchPayload:
     clip_rgb: np.ndarray               # rgb payload (layout depends on cfg)
     gray: "np.ndarray | None"          # [B, fpc, fh, fw] u8 (host_gray)
     native_hw: "tuple[int, int] | None"
-
-
-def plan_groups(n_frames: int, cfg: ExtractionConfig, clip_numbers=None):
-    """[(group_of_ranges, clip_numbers)] — full clips batched, odd tails
-    solo (one compile per geometry)."""
-    ranges = clip_ranges(n_frames, cfg.fps, cfg.clip_seconds,
-                         cfg.min_tail_seconds)
-    if clip_numbers is None:
-        clip_numbers = list(range(1, len(ranges) + 1))
-    bsz = cfg.batch_clips
-    full = [r for r in ranges if r[1] - r[0] + 1 == cfg.frames_per_clip]
-    tail = [r for r in ranges if r[1] - r[0] + 1 != cfg.frames_per_clip]
-    groups = [full[i:i + bsz] for i in range(0, len(full), bsz)]
-    groups += [[r] for r in tail]  # odd-length tails run solo
-    return [(g, [clip_numbers[ranges.index(r)] for r in g])
-            for g in groups]
-
-
-def stream_payloads(path: str, cfg: ExtractionConfig, flow_res_div: int,
-                    new_size: tuple[int, int] | None) -> Iterator[BatchPayload]:
-    """Decode a video and yield upload payloads batch by batch, holding only
-    a constant window of frames (jax-free — runs in decode worker processes
-    for the multi-core producer, pipeline/mpstream.py, and on the producer
-    thread of Extractor.extract_video_stream).
-
-    Streams only FULL clip batches while decoding; the tail (and any full
-    clips a wrong container count hid) is replanned from the ACTUAL decoded
-    frame count — container counts are duration*fps estimates for some
-    mp4s/VFR and must not decide clip boundaries. Clip BOUNDARIES are
-    count-independent (clip i spans frames [i*fpc, (i+1)*fpc)), but batch
-    GROUPING is not, so the replan regroups only the clips not already
-    emitted (their frames all sit past the freed prefix: emitted clips are
-    a prefix of the full-clip list)."""
-    total = decode.probe_frame_count(path)
-    usable = max(total - 1, 0)  # first decoded frame skipped (decode.py)
-    fpc = cfg.frames_per_clip
-    frames: list[np.ndarray | None] = []
-    grays: list[np.ndarray] | None = [] if cfg.host_gray else None
-    grid = None
-    freed = 0
-    done_clips: set[int] = set()
-    # full-batch plan from the container estimate, consumed as frames arrive
-    pending = [(g, nums) for g, nums in plan_groups(usable, cfg)
-               if all(e - s + 1 == fpc for s, e in g)] if usable else []
-    pi = 0
-    for f in decode.video_frames(path, new_size):
-        if grays is not None:
-            if grid is None:
-                grid = flow_grid_shape(f.shape[0], f.shape[1], flow_res_div)
-            grays.append(decode.gray_flow_grid(f[None], *grid)[0])
-        frames.append(f)
-        while pi < len(pending):
-            group, nums = pending[pi]
-            need = max(e for _s, e in group)
-            if len(frames) < need:
-                break
-            yield build_payload(frames, grays, group, nums, cfg,
-                                flow_res_div)
-            done_clips.update(nums)
-            # later groups only touch indices >= need (ranges are disjoint
-            # and monotonic; flow pairs never cross a clip boundary)
-            for j in range(freed, need):
-                frames[j] = None
-                if grays is not None:
-                    grays[j] = None
-            freed = need
-            pi += 1
-    actual = len(frames)
-    if actual == 0:
-        raise IOError(f"no frames decoded from {path!r}")
-    if actual < usable:
-        log.warning("%s: decoded %d < reported %d frames", path, actual,
-                    usable)
-    remaining = [(r, n) for group, nums in plan_groups(actual, cfg)
-                 for r, n in zip(group, nums) if n not in done_clips]
-    full = [(r, n) for r, n in remaining if r[1] - r[0] + 1 == fpc]
-    tails = [(r, n) for r, n in remaining if r[1] - r[0] + 1 != fpc]
-    bsz = cfg.batch_clips
-    for batch in ([full[i:i + bsz] for i in range(0, len(full), bsz)]
-                  + [[tl] for tl in tails]):
-        yield build_payload(frames, grays, [r for r, _ in batch],
-                            [n for _, n in batch], cfg, flow_res_div)
-
-
-def build_payload(frames, gray, group, nums, cfg: ExtractionConfig,
-                  flow_res_div: int) -> BatchPayload:
-    """The host half of a signature batch (pure numpy/cv2; see
-    Extractor._dispatch_payload for the device half).
-
-    frames: uint8 [N, H, W, 3] ndarray OR a list of [H, W, 3] frames (the
-    streaming window buffer, possibly with a freed None-prefix).
-    gray: optional list of per-frame uint8 flow-grid gray, parallel to
-    frames (producer-precomputed); ignored unless cfg.host_gray."""
-    f_len = group[0][1] - group[0][0] + 1
-    is_arr = isinstance(frames, np.ndarray)
-
-    def frame_range(a, b):  # 0-based [a, b)
-        return frames[a:b] if is_arr else np.stack(frames[a:b])
-
-    def frame_gather(idxs):  # 0-based index array
-        return (frames[idxs] if is_arr
-                else np.stack([frames[j] for j in idxs]))
-
-    ticks_rgb = frame_ticks(f_len, cfg.num_ticks, 1)
-    gray_np = None
-    native_hw = None
-    if cfg.host_gray:
-        # compact upload: ship only the tick frames + uint8 gray at the
-        # flow grid (~4x fewer bytes than all frames) — see the host_gray
-        # discussion in the Extractor docstring / docs/TUNING.md
-        fpc = cfg.frames_per_clip
-        h0, w0 = frames[group[0][0] - 1].shape[:2] if not is_arr \
-            else frames.shape[1:3]
-        native_hw = (int(h0), int(w0))
-        fh, fw = flow_grid_shape(h0, w0, flow_res_div)
-        gray_np = np.empty((len(group), fpc, fh, fw), np.uint8)
-        for i, (s, e) in enumerate(group):
-            if gray is not None:  # producer-precomputed per-frame gray
-                gray_np[i, :f_len] = gray[s - 1:e]
-            else:
-                gray_np[i, :f_len] = decode.gray_flow_grid(
-                    frames[s - 1:e], fh, fw)
-            if f_len < fpc:
-                gray_np[i, f_len:] = gray_np[i, f_len - 1]
-        tick0 = ticks_rgb - 1
-        clip_rgb = np.stack([frame_gather(s - 1 + tick0)
-                             for s, _e in group])
-        if cfg.host_crop:
-            b_, t_ = clip_rgb.shape[:2]
-            clip_rgb = decode.resize_crop_frames(
-                clip_rgb.reshape((b_ * t_,) + clip_rgb.shape[2:]),
-                cfg.frame_resize, cfg.crop_size,
-            ).reshape(b_, t_, cfg.crop_size, cfg.crop_size, 3)
-            if cfg.host_yuv420:
-                cs = cfg.crop_size
-                clip_rgb = decode.bgr_to_yuv420(
-                    clip_rgb.reshape(b_ * t_, cs, cs, 3),
-                ).reshape(b_, t_, cs * 3 // 2, cs)
-    else:
-        clip_rgb = np.stack([frame_range(s - 1, e)
-                             for s, e in group])      # [B,F,H,W,3]
-        if f_len < cfg.frames_per_clip:
-            # pad tail clips with last-frame repeats: one compiled geometry
-            # per batch size; plans never index the padding (tested)
-            rep = np.repeat(clip_rgb[:, -1:],
-                            cfg.frames_per_clip - f_len, axis=1)
-            clip_rgb = np.concatenate([clip_rgb, rep], axis=1)
-    return BatchPayload(list(nums), f_len, clip_rgb, gray_np, native_hw)
 
 
 @dataclasses.dataclass

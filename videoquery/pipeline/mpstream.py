@@ -32,8 +32,9 @@ log = logging.getLogger(__name__)
 def _worker(task_q, out_q, cfg: ExtractionConfig, flow_res_div: int,
             new_size) -> None:
     """Decode worker: pull video paths, stream payloads to the dispatcher.
-    Top-level function (spawn-picklable); jax-free."""
-    from videoquery.pipeline.extract import stream_payloads
+    Top-level function (spawn-picklable); jax-free — payload (not extract)
+    keeps the worker's import cost to numpy + cv2."""
+    from videoquery.pipeline.payload import stream_payloads
 
     while True:
         item = task_q.get()
