@@ -65,7 +65,7 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--res_div", type=int, default=2)
     ap.add_argument("--warm_group", type=int, default=3)
-    ap.add_argument("--warm_camera", default="own", choices=["own", "key"])
+    ap.add_argument("--warm_camera", default="own", choices=["own", "key", "init"])
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--gray_exact", action="store_true",
                     help="time the f32 gray -> jax.image.resize path "

@@ -172,22 +172,29 @@ class ExtractionConfig:
     # Temporal warm start (pallas path): solve the full TV-L1 pyramid for
     # one keyframe pair per `flow_warm_group` consecutive pairs; refine the
     # rest from their nearest key's flow at the finest level only.
-    # 0/1 disables. 3 is the production default: ground-truth EPE is
-    # IDENTICAL to cold (mean 0.235 vs 0.235 at scale 1, 0.396 vs 0.397 at
-    # scale 2; object/background splits equal to 3 decimals) and 3-seed
-    # retrieval matches/beats cold (0.685 vs 0.667 at scale 1), while
-    # cutting ~45% of TV-L1 cost (tools/flow_quality.py --warm;
-    # tools/flow_bench.py --warm; docs/TUNING.md).
+    # 0/1 disables. 3 is the production default. Round-4 re-gate (corpus
+    # v3 under the corrected lambda — the round-3 "EPE identical to cold"
+    # claim was an artifact of the 255x-weak data term): the warm shortcut
+    # costs real EPE vs cold (group3 mean 0.434 vs 0.250 bare; 0.247 vs
+    # 0.196 in the full production config with homography + rescue), with
+    # retrieval equal-or-better and ~45% of TV-L1 cost saved — the
+    # measured quality/throughput frontier is documented in docs/TUNING.md;
+    # set 0 for cold-solve quality at ~0.8x extraction throughput.
     flow_warm_group: int = 3
-    # Camera estimation for warm pairs: "own" (production since round 4 —
-    # each warm pair estimates its own camera) or "key" (reuse the keyframe
-    # pair's estimate, skipping the per-pair translation+LK pass). "key"
-    # passed the round-3 gate only because the intensity-scale lambda bug
-    # (kernels/tvl1.py) made the data term ~255x too weak to expose the
-    # stale-camera residual; under the corrected lambda on corpus v3,
-    # cam=key costs +0.08-0.09 EPE over cam=own at every warm_iters setting
-    # (tools/flow_quality.py --warm_iters / --final; docs/TUNING.md).
-    flow_warm_camera: str = "own"
+    # Camera estimation for warm pairs:
+    #   "init" (production since round 4) — refine the keyframe's camera
+    #          homography on this pair with 3 warm-started LK iterations
+    #          (no translation pre-pass, no from-zero convergence);
+    #   "own"  — full per-pair estimate (translation conv + 6 LK iters);
+    #   "key"  — reuse the keyframe's estimate verbatim.
+    # "key" passed the round-3 gate only because the intensity-scale
+    # lambda bug (kernels/tvl1.py) made the data term ~255x too weak to
+    # expose the stale-camera residual; under the corrected lambda on
+    # corpus v3 it costs +0.08 EPE. "init" matches "own" quality (EPE
+    # 0.249 vs 0.247, 3 seeds scale 2, full production config) at +4%
+    # extraction throughput (own 45.8 / init 47.8 / key 50.8 clips/s,
+    # same-session A/B; tools/flow_quality.py --final; docs/TUNING.md).
+    flow_warm_camera: str = "init"
     # Fold the grayscale channel dot into the flow-grid bilinear resize as
     # bf16 MXU matmuls (exact resize matrices extracted from
     # jax.image.resize; 10.5 -> 4.5 ms per 8-clip batch). Gray perturbation
