@@ -14,9 +14,10 @@ from a coarse flow pass, warps the second frame to cancel it, and reruns
 TV-L1 — the same two-pass structure dense_flow uses with its
 homography-of-SURF-matches estimate.
 
-Default parameters follow OpenCV's DualTVL1 (tau 0.25, lambda 0.15,
-theta 0.3, 5 scales, 5 warps, 30 inner iterations), which is what dense_flow
-wraps.
+Default parameters follow OpenCV's DualTVL1 (tau 0.25, theta 0.3,
+5 scales, 5 warps, 30 inner iterations), which is what dense_flow wraps;
+lambda is OpenCV's 0.15 re-expressed for unit-scale intensities
+(0.15 x 255 — see the field comment).
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from videoquery.kernels.motion import (affine_to_native_coords,
-                                       affine_to_warp, estimate_affine)
+                                       affine_to_warp)
 from videoquery.kernels.warp import bilinear_sample, warp_affine
 
 
@@ -77,8 +78,8 @@ class TVL1Params:
     # it that way almost everywhere (validated at retrieval level by
     # tools/flow_quality.py). The XLA path always uses exact gathers.
     separable_warp: bool = True
-    # Coarse grid for the camera-motion (affine) estimation pass of the
-    # warped variant. 6 affine parameters need far fewer samples than the
+    # Coarse grid for the camera-motion estimation pass of the warped
+    # variant. The handful of global parameters need far fewer samples than the
     # flow grid; (48, 64) scored >= (64, 96) on the 3-seed production-scale
     # retrieval gate while (32, 48) cliffs (tools/flow_quality.py
     # --res_sweep) — heights below ~48 under-resolve the pan classes.
@@ -92,7 +93,7 @@ class TVL1Params:
     # lifts was the measured EPE floor on the two >10 px/frame corpus
     # classes (docs/TUNING.md res-sweep; VERDICT r3 #6).
     rescue_frac: float = 0.0
-    # trigger: per-pair p98 |flow| >= rescue_trigger * max_disp
+    # trigger: per-pair pooled-max |flow| >= rescue_trigger * max_disp
     rescue_trigger: float = 0.9
     # Camera-motion model for the warped variant: "affine" (6-param LK fit;
     # pan + zoom + rotation/shear) or "homography" (8 params — adds the two

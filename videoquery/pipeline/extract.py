@@ -39,7 +39,7 @@ from videoquery.pipeline.preprocess import (
     preprocess_rgb,
     quantize_flow,
 )
-from videoquery.pipeline.sampling import (clip_ranges, flow_pair_plan,
+from videoquery.pipeline.sampling import (flow_pair_plan,
                                           flow_warm_plan,
                                           frame_ticks)
 
