@@ -103,7 +103,6 @@ def test_lk_homography_matches_affine_on_zoom(rng):
     h, w = 96, 128
     img = smooth_texture(rng, h, w)
     z = 0.02
-    Hn_zoom = jnp.eye(3) * jnp.asarray([1 - z, 1 - z, 1.0])[:, None].T
     Hn_zoom = jnp.eye(3).at[0, 0].set(1 - z).at[1, 1].set(1 - z)
     i1 = warp_by_homography(img, Hn_zoom)
     Hn = lk_homography_batch(img[None], i1[None], n_iters=10)

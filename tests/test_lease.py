@@ -63,11 +63,12 @@ def api_world():
 
 def crash_mid_job(api):
     """Run one poll against a client that dies mid-job; the query must be
-    left in state 3 with a lease breadcrumb (what a real kill leaves)."""
+    left in state 3 with a lease breadcrumb (what a real kill leaves).
+    compute_matches contains the failure (logs it, processes other jobs) —
+    the contract under test is only the state it leaves behind."""
     client = CrashingClient(api)
     repo = APIRepository(client, "fake://")
-    with pytest.raises(RuntimeError):
-        compute_matches(repo, HyperParams(), rng=random.Random(0), exact=True)
+    compute_matches(repo, HyperParams(), rng=random.Random(0), exact=True)
 
 
 def test_crashed_new_job_recovered_and_reprocessed(api_world):

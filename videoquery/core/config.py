@@ -298,6 +298,11 @@ class BrokerConfig:
     # recovery off. The reference had no such path — a crashed job stayed in
     # state 3 forever (SURVEY.md §5.3).
     lease_seconds: float = 600.0
+    # drain cap per poll: the broker picks up every pending job each poll
+    # (batched over shared search sets, service/compute_matches.py) up to
+    # this many; the reference took one job per type per 5 s poll
+    # (api_repository.py:53-63, broker.py:87)
+    max_jobs_per_poll: int = 64
 
     @staticmethod
     def from_env(**overrides) -> "BrokerConfig":
@@ -306,6 +311,9 @@ class BrokerConfig:
             kwargs["base_url"] = os.environ["BASE_URL"]
         if "BROKER_LEASE_SECONDS" in os.environ:
             kwargs["lease_seconds"] = float(os.environ["BROKER_LEASE_SECONDS"])
+        if "BROKER_MAX_JOBS_PER_POLL" in os.environ:
+            kwargs["max_jobs_per_poll"] = int(
+                os.environ["BROKER_MAX_JOBS_PER_POLL"])
         kwargs.update(overrides)
         return BrokerConfig(**kwargs)
 

@@ -515,21 +515,6 @@ def _extract_step(
 
 
 @dataclasses.dataclass
-class BatchPayload:
-    """Host-built upload payload for one clip batch — everything the device
-    step needs, with NO jax state, so it can be built in a decode worker
-    PROCESS (pipeline/mpstream.py) and shipped to the dispatching process
-    (the multi-core reincarnation of the reference's Pool-of-decoders,
-    build_wof_clips.py:175-184)."""
-
-    nums: list[int]                    # clip numbers
-    f_len: int                         # real frames per clip (tail < fpc)
-    clip_rgb: np.ndarray               # rgb payload (layout depends on cfg)
-    gray: "np.ndarray | None"          # [B, fpc, fh, fw] u8 (host_gray)
-    native_hw: "tuple[int, int] | None"
-
-
-@dataclasses.dataclass
 class ClipSignatures:
     """Per-batch signatures. rgb/flow may be device arrays (deferred
     readback — device->host readback costs dominate on tunneled chips;
@@ -593,6 +578,16 @@ class Extractor:
         self.warped = warped
         self.dtype = dtype
         self.tvl1 = tvl1 or PRODUCTION_TVL1
+        if (self.cfg.flow_warm_camera == "init"
+                and self.tvl1.camera_model != "homography"):
+            # warm camera refinement is only implemented for the 3x3
+            # homography model (tvl1_pallas checks A.shape[-2] == 3); with
+            # 'affine' the config silently degrades to 'key' (stale cameras,
+            # ~+0.08 EPE on corpus v3) — surface that instead of hiding it
+            log.warning(
+                "flow_warm_camera='init' requires camera_model='homography' "
+                "(got %r); warm groups will reuse the stale key camera "
+                "('key' behavior)", self.tvl1.camera_model)
         self.flow_impl = flow_impl or default_flow_impl()
         self.flow_res_div = self.cfg.flow_res_div
         self.mesh = mesh

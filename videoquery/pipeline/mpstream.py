@@ -21,6 +21,7 @@ from __future__ import annotations
 import logging
 import multiprocessing as mp
 import os
+import queue
 import traceback
 from typing import Sequence
 
@@ -84,19 +85,46 @@ def extract_videos_mp(extractor, paths: Sequence[str], workers: int = 0,
         p.start()
 
     sigs: dict[int, list] = {i: [] for i in range(len(paths))}
+    done: set[int] = set()
     errors: list[str] = []
-    finished = 0
+
+    def handle(kind, vi, obj):
+        if kind == "payload":
+            sigs[vi].append(extractor._dispatch_payload(obj))
+        elif kind == "done":
+            done.add(vi)
+        else:  # error
+            done.add(vi)
+            errors.append(obj)
+            log.error("extraction worker failed: %s", obj)
+
     try:
-        while finished < len(paths):
-            kind, vi, obj = out_q.get()
-            if kind == "payload":
-                sigs[vi].append(extractor._dispatch_payload(obj))
-            elif kind == "done":
-                finished += 1
-            else:  # error
-                finished += 1
-                errors.append(obj)
-                log.error("extraction worker failed: %s", obj)
+        while len(done) < len(paths):
+            try:
+                handle(*out_q.get(timeout=5.0))
+                continue
+            except queue.Empty:
+                pass
+            if any(p.is_alive() for p in procs):
+                continue  # workers just slow (long video); keep waiting
+            # Every worker has exited. A worker that hit the None sentinel
+            # exits cleanly after 'done'-ing all its videos; one that
+            # segfaulted/OOM-killed (cv2 on a malformed file) dies without
+            # a message and would hang a bare out_q.get() forever. Drain
+            # the stragglers that raced in, then fail the leftovers.
+            try:
+                while True:
+                    handle(*out_q.get_nowait())
+            except queue.Empty:
+                pass
+            for vi, path in enumerate(paths):
+                if vi not in done:
+                    done.add(vi)
+                    errors.append(
+                        f"{path}: decode worker died without reporting "
+                        "(exitcodes: "
+                        f"{[p.exitcode for p in procs]})")
+                    log.error("extraction worker died mid-video: %s", path)
     finally:
         for p in procs:
             p.join(timeout=30)

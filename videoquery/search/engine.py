@@ -33,7 +33,7 @@ import numpy as np
 from videoquery.core.config import HyperParams, compute_eps
 from videoquery.index.store import FeatureIndex
 from videoquery.search.optimizer import GridResult, optimize_weights
-from videoquery.search.scoring import (ensemble_similarities,
+from videoquery.search.scoring import (ensemble_similarities_batched,
                                        scores_from_similarities)
 
 
@@ -68,6 +68,16 @@ def _pack_f32(avg, counts):
 
         _PACK_F32_JIT = jax.jit(pack)
     return _PACK_F32_JIT(avg, counts)
+
+
+@jax.jit
+def _pack_f32_batched(avg, counts):
+    """Q-batched _pack_f32: (avg f32[Q,S,N], counts i32[Q,S,N]) ->
+    f32[Q,S+1,N] with the counts row digit-packed per query."""
+    s = counts.shape[1]
+    scale = _COUNT_RADIX ** jnp.arange(s, dtype=jnp.int32)
+    digits = jnp.sum(counts * scale[None, :, None], axis=1)
+    return jnp.concatenate([avg, digits.astype(jnp.float32)[:, None]], axis=1)
 
 
 def _unpack_counts(digits: np.ndarray, s: int) -> np.ndarray:
@@ -373,11 +383,7 @@ class SearchEngine:
     ) -> SimilarityTable:
         if self.exact:
             return self._compute_similarities_host(target)
-        targets, tmask = self.index.target_arrays(target)
-        avg, counts = ensemble_similarities(
-            targets, tmask, self.index.feats, self.index.mask
-        )
-        return _download_table(self.index, avg, counts)
+        return self.compute_similarities_multi([target])[0]
 
     def compute_similarities_resident(
         self, target: Mapping[str, Mapping[int, list]]
@@ -388,11 +394,57 @@ class SearchEngine:
         if self.exact:
             raise ValueError("the resident table is the f32 device path; "
                              "exact mode downloads the full float64 table")
-        targets, tmask = self.index.target_arrays(target)
-        avg, counts = ensemble_similarities(
-            targets, tmask, self.index.feats, self.index.mask
+        return self.compute_similarities_multi([target], resident=True)[0]
+
+    def compute_similarities_multi(
+        self,
+        targets: Sequence[Mapping[str, Mapping[int, list]]],
+        resident: bool = False,
+    ) -> list:
+        """Q concurrent query targets against the shared index in ONE device
+        program (scoring.ensemble_similarities_batched) — the batched serving
+        path replacing the reference's one-job-per-5 s-poll shape
+        (api_repository.py:53-63, broker.py:87).
+
+        Returns one SimilarityTable (or ResidentTable, resident=True) per
+        target, in order. Q is padded up to a power-of-two bucket of at
+        least 2 — the >= 2 floor is the bit-compatibility contract (a lone
+        query lowered as a gemv accumulates in a different order than a gemm
+        column), so a query processed alone and the same query processed in
+        a batch produce IDENTICAL similarity bits; buckets bound compile
+        count."""
+        if self.exact:
+            raise ValueError("exact mode scores targets host-side one at a "
+                             "time (SearchEngine.compute_similarities)")
+        q = len(targets)
+        if q == 0:
+            return []
+        idx = self.index
+        s, k, d = len(idx.streams), len(idx.splits), idx.feature_dim
+        qb = 2
+        while qb < q:
+            qb *= 2
+        t = np.zeros((qb, s, k, d), np.float32)
+        m = np.zeros((qb, s, k), bool)
+        for qi, target in enumerate(targets):
+            ta, ma = idx.target_arrays_host(target)
+            t[qi], m[qi] = ta.astype(np.float32), ma
+        avg, counts = ensemble_similarities_batched(
+            jnp.asarray(t), jnp.asarray(m), idx.feats, idx.mask
         )
-        return ResidentTable(self.index, avg, counts)
+        if resident:
+            return [ResidentTable(idx, avg[qi], counts[qi]) for qi in range(q)]
+        # one download for the whole batch (the padded tail is never read),
+        # counts digit-packed into an extra f32 row like _download_table
+        if len(idx.splits) < _COUNT_RADIX and 3 * s <= 24:
+            packed = np.asarray(_pack_f32_batched(avg, counts)[:q])
+            return [SimilarityTable(idx, packed[qi, :s],
+                                    _unpack_counts(packed[qi, s], s))
+                    for qi in range(q)]
+        avg_h = np.asarray(avg[:q])
+        counts_h = np.asarray(counts[:q])
+        return [SimilarityTable(idx, avg_h[qi], counts_h[qi])
+                for qi in range(q)]
 
     def _compute_similarities_host(self, target) -> SimilarityTable:
         targets, tmask = self.index.target_arrays_host(target)

@@ -58,6 +58,41 @@ def ensemble_similarities(
     return avg, counts
 
 
+@jax.jit
+def ensemble_similarities_batched(
+    targets: jax.Array,      # f32[Q, S, K, D]  one target per concurrent query
+    target_mask: jax.Array,  # bool[Q, S, K]
+    cands: jax.Array,        # f32[S, K, N, D]  the SHARED search-set index
+    cand_mask: jax.Array,    # bool[S, K, N]
+) -> tuple[jax.Array, jax.Array]:
+    """Q concurrent queries over one search set in a single device program.
+
+    Returns (avg_sim f32[Q, S, N], counts int32[Q, S, N]). The contraction
+    is one gemm per (stream, split) — [N, D] x [D, Q] — so the index is read
+    from HBM ONCE for all Q queries; on the bandwidth-bound 1M-segment round
+    that makes Q queries cost ~1 query (the reference processes one job per
+    5 s poll, api_repository.py:53-63 + broker.py:87 — this is the batched
+    serving path that replaces it).
+
+    Bit-compatibility contract: for Q >= 2 the per-query output columns are
+    bit-identical regardless of how many queries share the batch (the gemm
+    accumulates over D in a Q-independent order; measured on both the CPU
+    and TPU backends). Q == 1 lowers to a gemv with a DIFFERENT reduction
+    order — callers must pad Q to >= 2 (SearchEngine does) so sequential
+    and batched serving produce identical bits.
+    """
+    sims = jnp.einsum(
+        "sknd,qskd->qskn", cands, targets,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    mask = cand_mask[None] & target_mask[:, :, :, None]    # bool[Q, S, K, N]
+    counts = jnp.sum(mask, axis=2).astype(jnp.int32)       # [Q, S, N]
+    total = jnp.sum(jnp.where(mask, sims, 0.0), axis=2)    # [Q, S, N]
+    avg = total / jnp.maximum(counts, 1).astype(sims.dtype)
+    return avg, counts
+
+
 def scores_from_similarities(avg_sim: jax.Array, weights: jax.Array) -> jax.Array:
     """Weighted ensemble score (reference ticket.py:165-180, Appendix B of
     SURVEY.md):

@@ -72,9 +72,14 @@ class Broker:
                 self.repository,
                 hyperparameters,
                 rng=rng,
+                # with RANDOM_SEED set, each job gets a PRNG derived from
+                # (seed, query, round, type) so results don't depend on
+                # which jobs share a poll (compute_matches._job_rng)
+                seed=seed,
                 report_dir=self.config.report_dir,
                 exact=self.exact,
                 index_cache=self.index_cache,
+                max_jobs_per_poll=self.config.max_jobs_per_poll,
             )
         except Exception as exc:
             log.error("%s", exc, exc_info=True)

@@ -1,14 +1,37 @@
 """Match-computation orchestrator — the serving path of the framework.
 
-Mirrors the reference control flow (compute_matches.py:8-114) with the math
-swapped for the batched device engine: per pending job, build the ticket,
-estimate the target, run one similarity program over the whole search set,
-optimize hyperparameters on revise/finalize, persist the round, select clips
-for review, and report/finalize.
+Mirrors the reference control flow (compute_matches.py:8-114) with two
+structural upgrades:
+
+1. The math is the batched device engine: per job, one similarity program
+   over the whole search set, the optimizer grid as one program, banded
+   candidate downloads for big corpora.
+
+2. The poll DRAINS every pending job and batches concurrent queries over
+   the same search set into ONE device program. The reference processes at
+   most one job per type per 5 s poll (api_repository.py:53-63,
+   broker.py:87), so N pending queries cost N polls x 5 s and N full
+   passes over the search set. Here the drain loop re-polls the same three
+   endpoints until they run dry (each pickup's state-3 PATCH removes the
+   job from the pending pool, so this needs NO API surface beyond the
+   reference's), groups the jobs by search set, and scores Q concurrent
+   targets against the shared index in one gemm-shaped program
+   (SearchEngine.compute_similarities_multi) — the index is read from HBM
+   once for all Q queries. Per-query optimizer / selection / persistence /
+   report are unchanged, and results are BIT-IDENTICAL to processing the
+   same jobs one per poll (tests/test_batch_serving.py asserts it).
+
+Determinism: with a RANDOM_SEED, each job draws from its own PRNG seeded
+by (seed, query_id, round, job type), so results are reproducible AND
+independent of which jobs happen to share a poll. (The reference seeds one
+global `random` per poll, broker.py:83-84, which makes outcomes depend on
+job arrival interleaving; a shared-rng fallback is kept for callers that
+pass `rng` without a seed.)
 """
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import random
 from typing import Any, Mapping
@@ -22,7 +45,7 @@ from videoquery.core.config import (
     compute_eps,
 )
 from videoquery.index.store import FeatureIndex
-from videoquery.search.engine import SearchEngine
+from videoquery.search.engine import ResidentTable, SearchEngine
 from videoquery.search.selection import (
     INFINITE_MATCHES,
     finalize_near_miss,
@@ -70,61 +93,198 @@ class SearchSetCache:
         return index
 
 
+@dataclasses.dataclass
+class _Job:
+    """One drained pending job, carried through the batched poll."""
+
+    update_type: str
+    update_object: Mapping[str, Any]
+    ticket: Ticket
+    rng: random.Random | None
+    ref_splits: set | None = None
+    table: Any = None  # SimilarityTable | ResidentTable, set by the group pass
+
+
+def _job_rng(seed, rng, update_object, update_type) -> random.Random | None:
+    """Per-job PRNG. With a seed: derived from (seed, query, round, type) so
+    draws do not depend on which other jobs share the poll — the batching
+    bit-identity contract. Without one: the caller's shared rng (draw order
+    then depends on batch composition, like the reference's global seeding,
+    broker.py:83-84)."""
+    if seed is not None:
+        lqr = update_object.get("latest_query_result")
+        nround = 1 if update_type == "new" else (lqr["round"] + 1 if lqr else 1)
+        return random.Random(
+            f"{seed}|{update_object['query_id']}|{nround}|{update_type}")
+    return rng
+
+
+def drain_pending_jobs(
+    query_updates: APIRepository,
+    client,
+    *,
+    rng: random.Random | None = None,
+    seed=None,
+    report_dir: str = "final_reports",
+    max_jobs: int = 64,
+) -> list[_Job]:
+    """Poll the three compute endpoints repeatedly until no job is pending
+    (or max_jobs picked up). Each pickup PATCHes state 3 + stamps the lease
+    — exactly the per-job prologue of the reference poll (compute_matches.py:
+    42-52) — which removes it from the pending pool, so the SAME three
+    one-job endpoints the reference consumes (api_repository.py:53-63)
+    drain the whole queue with no extra API surface. Fatal-error jobs are
+    failed to state 5 here and not returned."""
+    jobs: list[_Job] = []
+    while len(jobs) < max_jobs:
+        updates_needed = query_updates.get_status()
+        if updates_needed is None:
+            break
+        found = False
+        for update_type, update_object in updates_needed.items():
+            if update_object is None:
+                continue
+            found = True
+            ticket = Ticket(update_object, client, report_dir)
+            ticket.change_process_state(STATE_IN_PROGRESS)
+            # lease breadcrumb: lets a later poll detect and reset this job
+            # if the broker dies before the terminal PATCH (service/lease.py;
+            # the reference left such jobs in state 3 forever, SURVEY.md §5.3)
+            try:
+                lease.stamp(client, ticket.query_id, update_type)
+            except Exception as exc:  # the stamp must never kill the job
+                log.warning("lease stamp failed for query %s: %s",
+                            ticket.query_id, exc)
+
+            fatal_error_message, error_message = ticket.catch_errors(update_type)
+            if fatal_error_message:
+                ticket.fail(fatal_error_message)
+                continue
+            if error_message:
+                ticket.add_note(error_message)
+            jobs.append(_Job(update_type, update_object, ticket,
+                             _job_rng(seed, rng, update_object, update_type)))
+            if len(jobs) >= max_jobs:
+                break
+        if not found:
+            break
+    return jobs
+
+
 def compute_matches(
     query_updates: APIRepository,
     hyperparameters: HyperParams,
     *,
     rng: random.Random | None = None,
+    seed=None,
     report_dir: str = "final_reports",
     exact: bool = False,
     index_cache: SearchSetCache | None = None,
+    max_jobs_per_poll: int = 64,
 ) -> None:
-    """Process every pending job this poll (reference compute_matches.py:8).
+    """Process every pending job this poll (reference compute_matches.py:8),
+    batching concurrent queries over the same search set into one device
+    program (see module docstring).
 
     exact=True runs the float64 host similarity path (reference-parity
-    numerics); default is the f32 device path. index_cache (optional)
-    reuses device indexes across rounds of the same search set.
-    """
-    updates_needed = query_updates.get_status()
-    if updates_needed is None:
+    numerics; per-job, never batched). index_cache (optional) reuses device
+    indexes across rounds of the same search set. seed enables
+    order-independent per-job PRNGs (see _job_rng)."""
+    jobs = drain_pending_jobs(
+        query_updates, query_updates.client, rng=rng, seed=seed,
+        report_dir=report_dir, max_jobs=max_jobs_per_poll,
+    )
+    if not jobs:
         return
 
-    for update_type, update_object in updates_needed.items():
-        if update_object is None:
-            continue
-        ticket = Ticket(update_object, query_updates.client, report_dir)
-        ticket.change_process_state(STATE_IN_PROGRESS)
-        # lease breadcrumb: lets a later poll detect and reset this job if
-        # the broker dies before the terminal PATCH (service/lease.py; the
-        # reference left such jobs in state 3 forever, SURVEY.md §5.3)
+    # -- per-job target estimation, drain order (API reads + per-job rng) ----
+    ready: list[_Job] = []
+    for job in jobs:
         try:
-            lease.stamp(query_updates.client, ticket.query_id, update_type)
-        except Exception as exc:  # the stamp must never kill the job itself
-            log.warning("lease stamp failed for query %s: %s",
-                        ticket.query_id, exc)
+            estimate_target(job.ticket, job.update_object, hyperparameters,
+                            rng=job.rng)
+            job.ref_splits = job.ticket._target_splits
+            ready.append(job)
+        except Exception as exc:
+            # transient failure: leave the job in state 3 for lease recovery
+            # (parity with the reference, whose poll-level catch does the
+            # same, broker.py:88-92) and keep processing the rest
+            log.error("target estimation failed for query %s: %s",
+                      job.ticket.query_id, exc, exc_info=True)
 
-        fatal_error_message, error_message = ticket.catch_errors(update_type)
-        if fatal_error_message:
-            ticket.fail(fatal_error_message)
+    # -- group by search set; ONE similarity program per group ---------------
+    groups: dict[tuple, list[_Job]] = {}
+    for job in ready:
+        key = (job.ticket.search_set, tuple(hyperparameters.streams),
+               tuple(sorted(job.ref_splits)), hyperparameters.feature_name)
+        groups.setdefault(key, []).append(job)
+    for (search_set, streams, splits, feature_name), gjobs in groups.items():
+        try:
+            index = _group_index(gjobs[0].ticket, hyperparameters, splits,
+                                 exact, index_cache)
+            engine = SearchEngine(index, exact=exact)
+            big = (not exact
+                   and index.n_padded >= SearchConfig().big_round_threshold)
+            if exact:
+                tables = [engine.compute_similarities(j.ticket.target_features)
+                          for j in gjobs]
+            else:
+                tables = engine.compute_similarities_multi(
+                    [j.ticket.target_features for j in gjobs], resident=big)
+            for job, table in zip(gjobs, tables):
+                job.table = table
+        except Exception as exc:
+            log.error("similarity pass failed for search set %s: %s",
+                      search_set, exc, exc_info=True)
+
+    # -- per-query round finish, drain order ---------------------------------
+    for job in ready:
+        if job.table is None:
             continue
-        if error_message:
-            ticket.add_note(error_message)
+        try:
+            finish_job(job.ticket, job.update_type, job.update_object,
+                       hyperparameters, job.table, rng=job.rng)
+        except Exception as exc:
+            log.error("round finish failed for query %s: %s",
+                      job.ticket.query_id, exc, exc_info=True)
 
-        process_job(ticket, update_type, update_object, hyperparameters,
-                    rng=rng, exact=exact, index_cache=index_cache)
+
+def _group_index(ticket: Ticket, hp: HyperParams, splits: tuple,
+                 exact: bool, index_cache: SearchSetCache | None
+                 ) -> FeatureIndex:
+    """Fetch/build (or cache-reuse) the device index for one search set."""
+    def build_index() -> FeatureIndex:
+        records = ticket.candidate_feature_records(hp)
+        # Pad the clip axis to a coarse multiple so XLA compiles one program
+        # per size bucket instead of one per exact search-set size (first
+        # compile on a TPU costs tens of seconds over a tunneled chip).
+        return FeatureIndex.build(
+            records, hp.streams, splits=list(splits),
+            keep_host=exact, pad_multiple=512,
+        )
+
+    version = (ticket.search_set_version()
+               if index_cache is not None else None)
+    if index_cache is not None and version is not None:
+        # version-keyed: a search set that grew between rounds changes its
+        # version (one cheap read), so stale candidates are never served
+        key = (ticket.search_set, version, tuple(hp.streams), splits,
+               hp.feature_name, exact)
+        return index_cache.get(key, build_index)
+    # no version signal -> reference semantics: refetch every round
+    # (ticket.py:358-382); a TTL-stale index must never be served
+    return build_index()
 
 
-def process_job(
+def estimate_target(
     ticket: Ticket,
-    update_type: str,
     update_object: Mapping[str, Any],
     hp: HyperParams,
     *,
     rng: random.Random | None = None,
-    exact: bool = False,
-    index_cache: SearchSetCache | None = None,
 ) -> None:
-    # -- target estimation (reference compute_matches.py:55-56) --------------
+    """Target estimation (reference compute_matches.py:55-56): sets
+    ticket.target_features (and stashes the reference clip's splits)."""
     ref_features, ref_splits = ticket.clip_features(ticket.ref_clip_id, hp)
     estimator = TargetEstimator(hp, rng=rng)
     bootstrap = bool(ticket.dynamic_target_adjustment)
@@ -143,44 +303,22 @@ def process_job(
         ref_features, valid_feats, invalid_feats, target_splits,
         previous_target, bootstrap,
     )
+    ticket._target_splits = ref_splits
 
-    # -- one similarity program over the search set (ticket.py:120-163) -------
-    def build_index() -> FeatureIndex:
-        records = ticket.candidate_feature_records(hp)
-        # Pad the clip axis to a coarse multiple so XLA compiles one program
-        # per size bucket instead of one per exact search-set size (first
-        # compile on a TPU costs tens of seconds over a tunneled chip).
-        return FeatureIndex.build(
-            records, hp.streams, splits=sorted(ref_splits),
-            keep_host=exact, pad_multiple=512,
-        )
 
-    version = (ticket.search_set_version()
-               if index_cache is not None else None)
-    if index_cache is not None and version is not None:
-        # version-keyed: a search set that grew between rounds changes its
-        # version (one cheap read), so stale candidates are never served
-        key = (ticket.search_set, version,
-               tuple(hp.streams), tuple(sorted(ref_splits)),
-               hp.feature_name, exact)
-        index = index_cache.get(key, build_index)
-    else:
-        # no version signal -> reference semantics: refetch every round
-        # (ticket.py:358-382); a TTL-stale index must never be served
-        index = build_index()
-    engine = SearchEngine(index, exact=exact)
-    # Big search sets keep the similarity table on device and download only
-    # the banded candidates (engine.ResidentTable) — selection-identical to
-    # the full path by construction; small sets take the simpler one-shot
-    # table download.
-    big = (not exact
-           and index.n_padded >= SearchConfig().big_round_threshold)
-    table = None
-    resident = None
-    if big:
-        resident = engine.compute_similarities_resident(ticket.target_features)
-    else:
-        table = engine.compute_similarities(ticket.target_features)
+def finish_job(
+    ticket: Ticket,
+    update_type: str,
+    update_object: Mapping[str, Any],
+    hp: HyperParams,
+    table,
+    *,
+    rng: random.Random | None = None,
+) -> None:
+    """Everything after the similarity pass: hyperparameter round state,
+    round persistence, scoring, selection, matches, report/finalize
+    (reference compute_matches.py:61-107)."""
+    resident = table if isinstance(table, ResidentTable) else None
 
     # -- hyperparameter round state (compute_matches.py:61-67) ---------------
     if update_type == "new" or not update_object["matches"]:
@@ -192,7 +330,7 @@ def process_job(
             if label is None:
                 label = match["is_match"]
             reviewed[match["video_clip"]] = float(bool(label))
-        hp_round, _grid = (resident or table).optimize(reviewed, hp)
+        hp_round, _grid = table.optimize(reviewed, hp)
     else:
         raise Exception("update type is invalid")
 
@@ -210,8 +348,7 @@ def process_job(
             finalize=update_type == "finalize",
         )
         if scores is None:  # band wider than every cap: full download
-            table = resident.to_table()
-            scores = table.scores(hp_round.weights)
+            scores = resident.to_table().scores(hp_round.weights)
         ticket.scores = scores
     else:
         ticket.scores = table.scores(hp_round.weights)
@@ -238,6 +375,33 @@ def process_job(
         ticket.change_process_state(STATE_FINALIZED)
     else:
         ticket.change_process_state(STATE_PROCESSED)
+
+
+def process_job(
+    ticket: Ticket,
+    update_type: str,
+    update_object: Mapping[str, Any],
+    hp: HyperParams,
+    *,
+    rng: random.Random | None = None,
+    exact: bool = False,
+    index_cache: SearchSetCache | None = None,
+) -> None:
+    """One job end-to-end (estimation -> similarity -> finish): the
+    single-job path, kept for direct callers. compute_matches itself batches
+    the similarity pass across jobs."""
+    estimate_target(ticket, update_object, hp, rng=rng)
+    index = _group_index(ticket, hp, tuple(sorted(ticket._target_splits)),
+                         exact, index_cache)
+    engine = SearchEngine(index, exact=exact)
+    big = (not exact
+           and index.n_padded >= SearchConfig().big_round_threshold)
+    if exact:
+        table = engine.compute_similarities(ticket.target_features)
+    else:
+        [table] = engine.compute_similarities_multi(
+            [ticket.target_features], resident=big)
+    finish_job(ticket, update_type, update_object, hp, table, rng=rng)
 
 
 def catch_no_matches_error(ticket: Ticket) -> None:

@@ -22,6 +22,24 @@ fresh query_result row, so a re-run duplicates nothing).
 A state-3 query with NO breadcrumb (a foreign writer, or a pre-lease
 broker version) is aged with an in-memory first-seen clock instead, so it
 still recovers — just only by a broker that stays up for a lease period.
+
+Operational contracts (docs/PARITY.md "lease recovery" row):
+
+- **BROKER_LEASE_SECONDS must exceed the worst-case job duration.** The
+  stamp is written once at pickup and not renewed mid-job, so a healthy
+  broker whose job legitimately outlives the lease gets that job reset by
+  a peer and re-processed (an extra duplicate round — harmless to final
+  state, wasteful). Default 600 s covers measured rounds (≤ a few seconds
+  at 1M segments) with two orders of magnitude of slack; raise it before
+  pointing the broker at search sets that take minutes per round.
+- **The recovery scan needs a `queries list ?process_state=` route**,
+  which is standard DRF filtering but beyond the action surface the
+  reference consumes (SURVEY.md Appendix A). Against an API without it,
+  recovery degrades to off — recover() warns ONCE and the advertised
+  crash recovery does not run.
+- stamp()'s read-modify-write of the notes field can drop a note written
+  concurrently by another writer between the read and the PATCH; notes
+  are advisory/human-facing, so this is tolerated rather than locked.
 """
 
 from __future__ import annotations
@@ -75,6 +93,7 @@ class LeaseRecovery:
         self.lease_seconds = lease_seconds
         # fallback clock for state-3 queries with no breadcrumb
         self._first_seen: dict[int, float] = {}
+        self._warned_unavailable = False
 
     def recover(self, now: float | None = None) -> list[int]:
         """Reset every expired state-3 query; returns the reset query ids."""
@@ -85,7 +104,16 @@ class LeaseRecovery:
             resp = self.client.action(
                 ["queries", "list"], {"process_state": STATE_IN_PROGRESS})
         except Exception as exc:  # an API without queries/list: feature off
-            log.debug("lease recovery unavailable: %s", exc)
+            if not self._warned_unavailable:
+                # one-time WARNING, not debug: crash recovery silently not
+                # running is an operational surprise worth surfacing
+                log.warning(
+                    "lease recovery disabled: this API does not serve "
+                    "queries list?process_state= (a filtered-list route "
+                    "beyond the reference action surface, SURVEY.md "
+                    "Appendix A); jobs stranded in state 3 by a crashed "
+                    "broker will NOT be recovered (%s)", exc)
+                self._warned_unavailable = True
             return []
         rows = resp.get("results", []) if isinstance(resp, dict) else resp
         reset: list[int] = []

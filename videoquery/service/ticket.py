@@ -48,6 +48,8 @@ class Ticket:
         self.user_matches: dict[str, bool | None] = update_object.get("user_matches") or {}
         # round outputs
         self.target_features: dict | None = None
+        self._target_splits: set | None = None  # ref-clip splits, set by
+        # compute_matches.estimate_target (keys the group's index build)
         self.scores: dict[int, float] = {}
         self.matches: dict[int, float] = {}
 
