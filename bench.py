@@ -380,11 +380,18 @@ def bench_ingest(n_videos: int = 50, clips_per_video: int = 100,
 
 def bench_round(n_segments: int = 100_000, n_reviewed: int = 20,
                 repeats: int = 5, dtype: str = "float32",
-                resident: bool | None = None) -> float:
-    """One full revise round (BASELINE config 4): similarity over the search
-    set + 40x30 grid optimization + rescoring + seeded selection. The
-    reference does this as Python loops (~40 rescoring passes over every
-    clip per round, SURVEY.md §3.1 hot loops).
+                resident: bool | None = None, q: int = 1) -> float:
+    """Full revise round(s) (BASELINE configs 4-5): similarity over the
+    search set + 40x30 grid optimization + rescoring + seeded selection.
+    The reference does this as Python loops (~40 rescoring passes over every
+    clip per round, SURVEY.md §3.1 hot loops) and serves ONE job per 5 s
+    poll (api_repository.py:53-63).
+
+    q > 1 measures the batched serving path (BASELINE config 5 'broker at
+    scale'): Q concurrent revise rounds whose similarity pass is ONE device
+    program over the shared resident index (the index is read from HBM once
+    for all Q queries — service/compute_matches.py groups a poll's jobs
+    exactly like this). Returns p50 ms for the whole Q-batch.
 
     resident=None picks what process_job picks: the device-resident banded
     round (engine.ResidentTable) at/above SearchConfig.big_round_threshold,
@@ -426,27 +433,56 @@ def bench_round(n_segments: int = 100_000, n_reviewed: int = 20,
     index.host_feats = None
     index.host_mask = None
 
-    target = {s: {k: (rng.normal(size=d) * 0.03).tolist() for k in splits}
-              for s in streams}
+    targets = [
+        {s: {k: (rng.normal(size=d) * 0.03).tolist() for k in splits}
+         for s in streams}
+        for _ in range(q)
+    ]
     engine = SearchEngine(index)
-    reviewed_ids = rng.choice(n_segments, n_reviewed, replace=False) + 1
-    labels = {int(c): float(rng.integers(0, 2)) for c in reviewed_ids}
+    qlabels = []
+    for _ in range(q):
+        reviewed_ids = rng.choice(n_segments, n_reviewed, replace=False) + 1
+        qlabels.append(
+            {int(c): float(rng.integers(0, 2)) for c in reviewed_ids})
 
-    def one_round():
-        if resident:
-            rt = engine.compute_similarities_resident(target)
-            hp_round, _ = rt.optimize(labels, hp)
-            scores = rt.round_scores(hp_round.weights, hp_round.threshold,
-                                     hp.near_miss_default, keep_ids=[1])
-            if scores is None:  # band overflow: full-table fallback
-                scores = rt.to_table().scores(hp_round.weights)
-        else:
-            table = engine.compute_similarities(target)
-            hp_round, _ = table.optimize(labels, hp)
-            scores = table.scores(hp_round.weights)
+    def select(scores, hp_round):
         return select_clips_to_review(scores, {}, 1, hp_round.threshold, 20,
                                       hp.near_miss_default,
                                       rng=pyrandom.Random(42))
+
+    def one_round():
+        tables = engine.compute_similarities_multi(targets, resident=resident)
+        if resident and q > 1:
+            # the broker's group-batched finish (compute_matches.
+            # _prepare_group_rounds): ONE gather + ONE banded program for
+            # the whole group instead of two downloads per query
+            from videoquery.search.engine import (optimize_many,
+                                                  round_scores_many)
+
+            hps = [h for h, _ in optimize_many(tables, qlabels, hp)]
+            specs = [{"weights": h.weights, "threshold": h.threshold,
+                      "near_miss": hp.near_miss_default, "keep_ids": [1],
+                      "user_match_ids": [], "finalize": False}
+                     for h in hps]
+            scores_list = round_scores_many(tables, specs)
+            return [
+                select(sc if sc is not None
+                       else tbl.to_table().scores(h.weights), h)
+                for tbl, h, sc in zip(tables, hps, scores_list)
+            ]
+        out = []
+        for tbl, labels in zip(tables, qlabels):
+            hp_round, _ = tbl.optimize(labels, hp)
+            if resident:
+                scores = tbl.round_scores(hp_round.weights,
+                                          hp_round.threshold,
+                                          hp.near_miss_default, keep_ids=[1])
+                if scores is None:  # band overflow: full-table fallback
+                    scores = tbl.to_table().scores(hp_round.weights)
+            else:
+                scores = tbl.scores(hp_round.weights)
+            out.append(select(scores, hp_round))
+        return out
 
     one_round()  # compile
     times = []
@@ -455,8 +491,13 @@ def bench_round(n_segments: int = 100_000, n_reviewed: int = 20,
         matches = one_round()
         times.append(time.time() - t0)
     p50 = float(np.median(times)) * 1000
-    log(f"[round] full revise round over {n_segments} segments: p50 {p50:.0f} ms "
-        f"({len(matches)} matches selected)")
+    if q == 1:
+        log(f"[round] full revise round over {n_segments} segments: "
+            f"p50 {p50:.0f} ms ({len(matches[0])} matches selected)")
+    else:
+        log(f"[round] {q} concurrent revise rounds over {n_segments} "
+            f"segments (one similarity program): p50 {p50:.0f} ms total "
+            f"= {p50 / q:.1f} ms/query")
     return p50
 
 
@@ -569,6 +610,16 @@ def main():
         r50_big = bench_round(n_segments=1_000_000, dtype="bfloat16",
                               resident=True)
         metrics["revise_round_p50_ms_1m_segments_resident"] = round(r50_big, 1)
+        # BASELINE config 5: Q concurrent revise rounds batched into one
+        # similarity program over the shared resident index (the broker's
+        # drained-poll serving path) — sub-linear in Q vs Q sequential rounds
+        free_hbm()
+        r50_q8 = bench_round(n_segments=1_000_000, dtype="bfloat16",
+                             resident=True, q=8)
+        metrics["concurrent8_rounds_p50_ms_1m_segments"] = round(r50_q8, 1)
+        metrics["concurrent8_rounds_ms_per_query"] = round(r50_q8 / 8, 1)
+        metrics["concurrent8_vs_sequential_speedup"] = round(
+            8 * r50_big / r50_q8, 2)
         if args.mode == "round":
             return emit("revise_round_p50_over_100k_segments",
                         round(r50, 1), "ms", round(5000.0 / r50, 3))

@@ -102,16 +102,30 @@ def _gather_sim_rows(avg, pos):
     return jnp.take(avg, pos, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "finalize"))
-def _banded_candidates(avg, counts, weights, threshold, near_miss, eps,
-                       keep_pos, um_pos, um_mask, cap: int, finalize: bool):
-    """One packed f32 download holding everything selection needs.
+@jax.jit
+def _gather_sim_rows_many(avg_q, sel, pos_q):
+    """Batched reviewed-row gather: avg_q f32[Qb, S, N], sel i32[Q] (parent
+    rows), pos_q i32[Q, M] -> f32[Q, S, M] — ONE program + one download for
+    a whole poll group (each per-query gather costs a full tunnel
+    round-trip otherwise)."""
+    return jax.vmap(
+        lambda s, p: jnp.take(jnp.take(avg_q, s, axis=0), p, axis=1)
+    )(sel, pos_q)
+
+
+def _banded_core(avg, counts, weights, threshold, near_miss, eps,
+                 keep_pos, um_pos, um_mask, cap: int, finalize: bool):
+    """One packed f32 vector holding everything selection needs.
 
     Layout (raveled): candidates [S+2, cap] (avg rows, valid bit, position
     as exact-in-f32 integer), kept clips [S+1, KP] (avg rows, valid bit),
     then [n_in_band]. finalize=True derives the near-miss bound from the
     lowest-scoring user match on device (reference compute_matches.py:78-85
-    arithmetic, f32; the margin absorbs the f64 difference)."""
+    arithmetic, f32; the margin absorbs the f64 difference).
+
+    Shared verbatim by the single-query jit and the Q-vmapped group program
+    (_banded_candidates_many): every op is elementwise or a fixed-order
+    tiny reduction, so the batched rows are bit-identical to solo runs."""
     valid = jnp.all(counts > 0, axis=0)                       # [N]
     scores = jnp.where(valid, scores_from_similarities(avg, weights),
                        -jnp.inf)
@@ -143,6 +157,23 @@ def _banded_candidates(avg, counts, weights, threshold, near_miss, eps,
     ])
 
 
+_banded_candidates = functools.partial(
+    jax.jit, static_argnames=("cap", "finalize"))(_banded_core)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "finalize"))
+def _banded_candidates_many(avg_q, counts_q, weights, threshold, near_miss,
+                            eps, keep_pos, um_pos, um_mask, cap: int,
+                            finalize: bool):
+    """Q-batched _banded_core: one program + ONE download for every query
+    of a poll group (avg_q f32[Q,S,N]; all other args carry a leading Q)."""
+    return jax.vmap(
+        lambda a, c, w, t, n, kp, up, um: _banded_core(
+            a, c, w, t, n, eps, kp, up, um, cap, finalize)
+    )(avg_q, counts_q, weights, threshold, near_miss,
+      keep_pos, um_pos, um_mask)
+
+
 def _scores_f64(avg: np.ndarray, w: np.ndarray) -> np.ndarray:
     """float64 weighted score of f32 similarity rows — the same bits
     SimilarityTable.scores produces (ticket.py:165-180)."""
@@ -150,15 +181,25 @@ def _scores_f64(avg: np.ndarray, w: np.ndarray) -> np.ndarray:
     return 1.0 - np.sqrt((dev * dev).sum(axis=0) / (w * w).sum())
 
 
-def _pad_positions(pos: list[int], multiple: int = 8
+def _pad_positions(pos: list[int], multiple: int = 8, at_least: int = 0
                    ) -> tuple[np.ndarray, int]:
     """Pad a position list to a bucket size (position 0 as filler) so every
-    distinct keep/reviewed count does not compile a fresh program."""
+    distinct keep/reviewed count does not compile a fresh program.
+    at_least forces a common bucket across a query group."""
     m = len(pos)
-    mp = max(multiple, -(-m // multiple) * multiple)
+    mp = max(multiple, at_least, -(-m // multiple) * multiple)
     out = np.zeros(mp, np.int32)
     out[:m] = pos
     return out, m
+
+
+def _pad_q(q: int) -> int:
+    """Query-count bucket: power of two, >= 2 (the gemm bit-compatibility
+    floor, see ensemble_similarities_batched)."""
+    qb = 2
+    while qb < q:
+        qb *= 2
+    return qb
 
 
 class SimilarityTable:
@@ -246,10 +287,15 @@ class ResidentTable:
     filtering makes the selection bit-identical to the full-download path
     (the device band is margin-widened, see _BAND_MARGIN)."""
 
-    def __init__(self, index: FeatureIndex, avg, counts):
+    def __init__(self, index: FeatureIndex, avg, counts, batch=None):
         self.index = index
         self.avg = avg        # f32[S, Npad] device
         self.counts = counts  # i32[S, Npad] device
+        # (avg_q f32[Qb,S,Npad], counts_q, qi): set when this table is one
+        # row of a batched poll group (compute_similarities_multi) — lets
+        # optimize_many / round_scores_many run the whole group's downloads
+        # as single programs
+        self.batch = batch
 
     def _positions(self, clip_ids: Sequence[int]) -> list[int]:
         out = []
@@ -306,23 +352,25 @@ class ResidentTable:
                 return out
         return None
 
-    def _round_scores_once(self, weights, threshold, near_miss, keep_ids,
-                           user_match_ids, finalize: bool, cap: int
-                           ) -> dict[int, float] | None:
-        s = len(self.index.streams)
+    def _banded_args(self, weights, keep_ids, user_match_ids,
+                     keep_bucket: int = 0, um_bucket: int = 0):
+        """Host-side argument prep shared by the solo and group programs.
+        The bucket floors let a poll group share one padded shape."""
         w = np.asarray([weights[st] for st in self.index.streams], np.float64)
-        keep_pos, n_keep = _pad_positions(self._positions(keep_ids))
-        um_list = self._positions(user_match_ids)
-        um_pos, n_um = _pad_positions(um_list)
+        keep_pos, n_keep = _pad_positions(self._positions(keep_ids),
+                                          at_least=keep_bucket)
+        um_pos, n_um = _pad_positions(self._positions(user_match_ids),
+                                      at_least=um_bucket)
         um_mask = np.zeros(um_pos.shape[0], bool)
         um_mask[:n_um] = True
-        packed = np.asarray(_banded_candidates(
-            self.avg, self.counts, jnp.asarray(w, jnp.float32),
-            jnp.float32(threshold), jnp.float32(near_miss),
-            jnp.float32(compute_eps()), jnp.asarray(keep_pos),
-            jnp.asarray(um_pos), jnp.asarray(um_mask),
-            cap=cap, finalize=finalize,
-        ), np.float64)
+        return w, keep_pos, n_keep, um_pos, um_mask
+
+    def _unpack_banded(self, packed: np.ndarray, w: np.ndarray,
+                       keep_pos: np.ndarray, n_keep: int, cap: int
+                       ) -> dict[int, float] | None:
+        """Turn one packed download (see _banded_core) into the reduced
+        ascending-clip-id float64 scores dict, or None on band overflow."""
+        s = len(self.index.streams)
         cand_sz = (s + 2) * cap
         keep_sz = (s + 1) * keep_pos.shape[0]
         cand = packed[:cand_sz].reshape(s + 2, cap)
@@ -345,9 +393,164 @@ class ResidentTable:
         ids = np.asarray(self.index.clip_ids)
         return {int(ids[p]): pos_score[p] for p in sorted(pos_score)}
 
+    def _round_scores_once(self, weights, threshold, near_miss, keep_ids,
+                           user_match_ids, finalize: bool, cap: int
+                           ) -> dict[int, float] | None:
+        w, keep_pos, n_keep, um_pos, um_mask = self._banded_args(
+            weights, keep_ids, user_match_ids)
+        packed = np.asarray(_banded_candidates(
+            self.avg, self.counts, jnp.asarray(w, jnp.float32),
+            jnp.float32(threshold), jnp.float32(near_miss),
+            jnp.float32(compute_eps()), jnp.asarray(keep_pos),
+            jnp.asarray(um_pos), jnp.asarray(um_mask),
+            cap=cap, finalize=finalize,
+        ), np.float64)
+        return self._unpack_banded(packed, w, keep_pos, n_keep, cap)
+
     def to_table(self) -> SimilarityTable:
         """Full-download fallback (identical to compute_similarities)."""
         return _download_table(self.index, self.avg, self.counts)
+
+
+def _shared_batch(tables: Sequence[ResidentTable]):
+    """The common batch parent of a poll group's tables, or None."""
+    if not tables or tables[0].batch is None:
+        return None
+    parent = tables[0].batch[0]
+    for t in tables:
+        if t.batch is None or t.batch[0] is not parent:
+            return None
+    return tables[0].batch[:2]
+
+
+def optimize_many(
+    tables: Sequence[ResidentTable],
+    labels_list: Sequence[Mapping[int, float]],
+    hp: HyperParams,
+) -> list[tuple[HyperParams, GridResult]]:
+    """Batched ResidentTable.optimize across one poll group: every query's
+    reviewed rows are gathered by ONE device program and downloaded in ONE
+    transfer (a solo gather pays a full tunnel round-trip per query). The
+    per-query grid/parabolic optimization stays host-side float64 —
+    bit-identical to solo optimize (the gather moves bits, it computes
+    nothing)."""
+    if not tables:
+        return []
+    shared = _shared_batch(tables)
+    if shared is None or len(tables) == 1:
+        return [t.optimize(labels, hp)
+                for t, labels in zip(tables, labels_list)]
+    avg_q, _ = shared
+    per: list[tuple[list[int], list[float]]] = []
+    for table, labels in zip(tables, labels_list):
+        positions, lab = [], []
+        for clip_id, label in labels.items():
+            pos = table.index.position(clip_id)
+            if pos is None:
+                raise KeyError(
+                    f"reviewed clip {clip_id} not in the search set")
+            positions.append(pos)
+            lab.append(float(label))
+        per.append((positions, lab))
+    m_bucket = max(_pad_positions(p)[0].shape[0] for p, _ in per)
+    q = len(tables)
+    qb = _pad_q(q)
+    pos_q = np.zeros((qb, m_bucket), np.int32)
+    sel = np.zeros(qb, np.int32)
+    for qi, (table, (positions, _)) in enumerate(zip(tables, per)):
+        pos_q[qi], _ = _pad_positions(positions, at_least=m_bucket)
+        sel[qi] = table.batch[2]
+    sims = np.asarray(_gather_sim_rows_many(
+        avg_q, jnp.asarray(sel), jnp.asarray(pos_q)))
+    out = []
+    for qi, (table, (positions, lab)) in enumerate(zip(tables, per)):
+        sim = sims[qi][:, :len(positions)]
+        result = optimize_weights(
+            sim, np.asarray(lab, np.float64),
+            hp.weight_grid, hp.threshold_grid, hp.ballast, compute_eps(),
+        )
+        new_weights = {hp.streams[0]: 1.0, hp.streams[1]: result.weight}
+        out.append((hp.with_round_state(new_weights, result.threshold),
+                    result))
+    return out
+
+
+def round_scores_many(
+    tables: Sequence[ResidentTable],
+    rounds: Sequence[Mapping],
+    caps: Sequence[int] = (32_768, 262_144),
+) -> list[dict[int, float] | None]:
+    """Batched ResidentTable.round_scores across one poll group: the banded
+    candidates of every query come back in ONE download per finalize-flavor
+    (the band program is vmapped over Q; _banded_core is shared verbatim
+    with the solo path, so each row is bit-identical to a solo round).
+
+    rounds[i]: {weights, threshold, near_miss, keep_ids, user_match_ids,
+    finalize}. A query whose band overflows the group cap retries solo at
+    the escalated caps; None means wider than every cap (caller falls back
+    to the full-table download), exactly like solo round_scores."""
+    results: list = [None] * len(tables)
+    shared = _shared_batch(tables)
+    if shared is None or len(tables) == 1:
+        return [
+            t.round_scores(r["weights"], r["threshold"], r["near_miss"],
+                           r["keep_ids"], r["user_match_ids"],
+                           finalize=r["finalize"], caps=caps)
+            for t, r in zip(tables, rounds)
+        ]
+    avg_q, counts_q = shared
+    eps = compute_eps()
+    by_flavor: dict[bool, list[int]] = {}
+    for i, r in enumerate(rounds):
+        by_flavor.setdefault(bool(r["finalize"]), []).append(i)
+    for finalize, idxs in by_flavor.items():
+        args = [tables[i]._banded_args(
+            rounds[i]["weights"], rounds[i]["keep_ids"],
+            rounds[i]["user_match_ids"]) for i in idxs]
+        keep_bucket = max(a[1].shape[0] for a in args)
+        um_bucket = max(a[3].shape[0] for a in args)
+        args = [tables[i]._banded_args(
+            rounds[i]["weights"], rounds[i]["keep_ids"],
+            rounds[i]["user_match_ids"], keep_bucket, um_bucket)
+            for i in idxs]
+        q = len(idxs)
+        qb = _pad_q(q)
+        s = len(tables[0].index.streams)
+        sel = np.zeros(qb, np.int32)
+        w_q = np.zeros((qb, s), np.float32)
+        th_q = np.zeros(qb, np.float32)
+        nm_q = np.zeros(qb, np.float32)
+        keep_q = np.zeros((qb, keep_bucket), np.int32)
+        um_q = np.zeros((qb, um_bucket), np.int32)
+        umm_q = np.zeros((qb, um_bucket), bool)
+        for row, (i, (w, keep_pos, _nk, um_pos, um_mask)) in enumerate(
+                zip(idxs, args)):
+            sel[row] = tables[i].batch[2]
+            w_q[row] = w
+            th_q[row] = rounds[i]["threshold"]
+            nm_q[row] = rounds[i]["near_miss"]
+            keep_q[row] = keep_pos
+            um_q[row] = um_pos
+            umm_q[row] = um_mask
+        packed = np.asarray(_banded_candidates_many(
+            jnp.take(avg_q, jnp.asarray(sel), axis=0),
+            jnp.take(counts_q, jnp.asarray(sel), axis=0),
+            jnp.asarray(w_q), jnp.asarray(th_q), jnp.asarray(nm_q),
+            jnp.float32(eps), jnp.asarray(keep_q), jnp.asarray(um_q),
+            jnp.asarray(umm_q), cap=caps[0], finalize=finalize,
+        ), np.float64)
+        for row, (i, (w, keep_pos, n_keep, _up, _um)) in enumerate(
+                zip(idxs, args)):
+            out = tables[i]._unpack_banded(packed[row], w, keep_pos, n_keep,
+                                           caps[0])
+            if out is None and len(caps) > 1:  # overflow: solo escalation
+                r = rounds[i]
+                out = tables[i].round_scores(
+                    r["weights"], r["threshold"], r["near_miss"],
+                    r["keep_ids"], r["user_match_ids"],
+                    finalize=r["finalize"], caps=caps[1:])
+            results[i] = out
+    return results
 
 
 def _download_table(index: FeatureIndex, avg, counts) -> SimilarityTable:
@@ -421,9 +624,7 @@ class SearchEngine:
             return []
         idx = self.index
         s, k, d = len(idx.streams), len(idx.splits), idx.feature_dim
-        qb = 2
-        while qb < q:
-            qb *= 2
+        qb = _pad_q(q)
         t = np.zeros((qb, s, k, d), np.float32)
         m = np.zeros((qb, s, k), bool)
         for qi, target in enumerate(targets):
@@ -433,7 +634,9 @@ class SearchEngine:
             jnp.asarray(t), jnp.asarray(m), idx.feats, idx.mask
         )
         if resident:
-            return [ResidentTable(idx, avg[qi], counts[qi]) for qi in range(q)]
+            return [ResidentTable(idx, avg[qi], counts[qi],
+                                  batch=(avg, counts, qi))
+                    for qi in range(q)]
         # one download for the whole batch (the padded tail is never read),
         # counts digit-packed into an extra f32 row like _download_table
         if len(idx.splits) < _COUNT_RADIX and 3 * s <= 24:

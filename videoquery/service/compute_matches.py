@@ -103,6 +103,11 @@ class _Job:
     rng: random.Random | None
     ref_splits: set | None = None
     table: Any = None  # SimilarityTable | ResidentTable, set by the group pass
+    # group-batched round results (resident groups only): the optimizer
+    # gathers and banded-candidate downloads of the whole group run as
+    # single device programs (engine.optimize_many / round_scores_many)
+    hp_round: Any = None
+    scores: Any = None
 
 
 def _job_rng(seed, rng, update_object, update_type) -> random.Random | None:
@@ -233,6 +238,11 @@ def compute_matches(
                     [j.ticket.target_features for j in gjobs], resident=big)
             for job, table in zip(gjobs, tables):
                 job.table = table
+            if big and len(gjobs) > 1:
+                # big-corpus groups: run the whole group's optimizer gathers
+                # and banded-candidate downloads as ONE program each (solo
+                # they pay a tunnel round-trip per query)
+                _prepare_group_rounds(gjobs, hyperparameters)
         except Exception as exc:
             log.error("similarity pass failed for search set %s: %s",
                       search_set, exc, exc_info=True)
@@ -243,7 +253,8 @@ def compute_matches(
             continue
         try:
             finish_job(job.ticket, job.update_type, job.update_object,
-                       hyperparameters, job.table, rng=job.rng)
+                       hyperparameters, job.table, rng=job.rng,
+                       hp_round=job.hp_round, scores=job.scores)
         except Exception as exc:
             log.error("round finish failed for query %s: %s",
                       job.ticket.query_id, exc, exc_info=True)
@@ -306,6 +317,64 @@ def estimate_target(
     ticket._target_splits = ref_splits
 
 
+def _reviewed_labels(ticket: Ticket) -> dict[int, float]:
+    """Reviewed-match labels for the optimizer: user_match wins, else
+    is_match (reference compute_matches.py:61-67 labeling)."""
+    reviewed: dict[int, float] = {}
+    for match in ticket.prior_matches:
+        label = match["user_match"]
+        if label is None:
+            label = match["is_match"]
+        reviewed[match["video_clip"]] = float(bool(label))
+    return reviewed
+
+
+def _round_spec(ticket: Ticket, update_type: str, hp_round) -> dict:
+    """The banded-round parameters of one job (ResidentTable.round_scores
+    argument set), shared by the solo and group-batched paths."""
+    user_match_ids = [int(c) for c, v in ticket.user_matches.items()
+                      if v is True]
+    return {
+        "weights": hp_round.weights,
+        "threshold": hp_round.threshold,
+        "near_miss": hp_round.near_miss_default,
+        "keep_ids": [ticket.ref_clip_id] + user_match_ids,
+        "user_match_ids": user_match_ids,
+        "finalize": update_type == "finalize",
+    }
+
+
+def _prepare_group_rounds(gjobs, hp: HyperParams) -> None:
+    """Group-batched round prep for a resident (big-corpus) poll group:
+    sets job.hp_round and job.scores so finish_job skips its per-query
+    device traffic. One gather program covers every optimizing job; one
+    banded program per finalize-flavor covers every download — each solo
+    equivalent pays a tunnel round-trip per query (measured 28 + 54
+    ms/query on the tunneled v5e; docs/TUNING.md)."""
+    from videoquery.search.engine import optimize_many, round_scores_many
+
+    opt_jobs, opt_labels = [], []
+    for job in gjobs:
+        if job.update_type == "new" or not job.update_object["matches"]:
+            job.hp_round = hp.reset_round_state()
+        elif job.update_type in ("revise", "finalize"):
+            opt_jobs.append(job)
+            opt_labels.append(_reviewed_labels(job.ticket))
+        # anything else: leave hp_round None; finish_job raises its
+        # reference-parity "update type is invalid"
+    if opt_jobs:
+        results = optimize_many([j.table for j in opt_jobs], opt_labels, hp)
+        for job, (hp_round, _grid) in zip(opt_jobs, results):
+            job.hp_round = hp_round
+    rjobs = [j for j in gjobs if j.hp_round is not None]
+    specs = [_round_spec(j.ticket, j.update_type, j.hp_round) for j in rjobs]
+    scores_list = round_scores_many([j.table for j in rjobs], specs)
+    for job, scores in zip(rjobs, scores_list):
+        if scores is None:  # band wider than every cap: full download
+            scores = job.table.to_table().scores(job.hp_round.weights)
+        job.scores = scores
+
+
 def finish_job(
     ticket: Ticket,
     update_type: str,
@@ -314,38 +383,36 @@ def finish_job(
     table,
     *,
     rng: random.Random | None = None,
+    hp_round=None,
+    scores=None,
 ) -> None:
     """Everything after the similarity pass: hyperparameter round state,
     round persistence, scoring, selection, matches, report/finalize
-    (reference compute_matches.py:61-107)."""
+    (reference compute_matches.py:61-107). hp_round/scores may be
+    precomputed by the group-batched pass (_prepare_group_rounds)."""
     resident = table if isinstance(table, ResidentTable) else None
 
     # -- hyperparameter round state (compute_matches.py:61-67) ---------------
-    if update_type == "new" or not update_object["matches"]:
-        hp_round = hp.reset_round_state()
-    elif update_type in ("revise", "finalize"):
-        reviewed = {}
-        for match in ticket.prior_matches:
-            label = match["user_match"]
-            if label is None:
-                label = match["is_match"]
-            reviewed[match["video_clip"]] = float(bool(label))
-        hp_round, _grid = table.optimize(reviewed, hp)
-    else:
-        raise Exception("update type is invalid")
+    if hp_round is None:
+        if update_type == "new" or not update_object["matches"]:
+            hp_round = hp.reset_round_state()
+        elif update_type in ("revise", "finalize"):
+            hp_round, _grid = table.optimize(_reviewed_labels(ticket), hp)
+        else:
+            raise Exception("update type is invalid")
 
     # -- persist round, score, select (compute_matches.py:70-89) -------------
     new_round = 1 if update_type == "new" else ticket.latest_query_result["round"] + 1
     new_result_id = ticket.create_query_result(new_round, hp_round)
 
-    if resident is not None:
-        user_match_ids = [int(c) for c, v in ticket.user_matches.items()
-                          if v is True]
-        keep_ids = [ticket.ref_clip_id] + user_match_ids
+    if scores is not None:
+        ticket.scores = scores
+    elif resident is not None:
+        spec = _round_spec(ticket, update_type, hp_round)
         scores = resident.round_scores(
-            hp_round.weights, hp_round.threshold, hp_round.near_miss_default,
-            keep_ids, user_match_ids,
-            finalize=update_type == "finalize",
+            spec["weights"], spec["threshold"], spec["near_miss"],
+            spec["keep_ids"], spec["user_match_ids"],
+            finalize=spec["finalize"],
         )
         if scores is None:  # band wider than every cap: full download
             scores = resident.to_table().scores(hp_round.weights)
