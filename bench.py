@@ -246,19 +246,32 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
             f"(1-worker ceiling {decode_rate:.1f}; "
             f"{os.cpu_count()} host cores)")
 
-        t0 = time.time()
-        by_path = ex.extract_videos([long_video, long2], workers=2)
-        dt = time.time() - t0
-        n_mp = sum(len(s.clip_numbers) for sg in by_path.values()
-                   for s in sg)
+        # persistent pool: spawn cost is paid ONCE (first call, "cold");
+        # the second call measures steady state — the number a production
+        # fleet runs at (pool reuse across calls, mpstream.WorkerPool)
+        from videoquery.pipeline.mpstream import WorkerPool, extract_videos_mp
+
+        with WorkerPool(2, ex.cfg, ex.flow_res_div,
+                        ex._decode_size()) as pool:
+            t0 = time.time()
+            by_path = extract_videos_mp(ex, [long_video, long2], pool=pool)
+            dt_cold = time.time() - t0
+            n_mp = sum(len(s.clip_numbers) for sg in by_path.values()
+                       for s in sg)
+            t0 = time.time()
+            by_path = extract_videos_mp(ex, [long_video, long2], pool=pool)
+            dt = time.time() - t0
+        mp_cold = n_mp / dt_cold
         mp_sustained = n_mp / dt
-        log(f"[e2e] mp sustained (2 workers, {n_mp} clips): {dt:.2f}s = "
-            f"{mp_sustained:.2f} clips/s (wall incl. ~5-10 s spawn startup "
-            f"per worker on this host)")
+        log(f"[e2e] mp sustained (2 workers, warm pool, {n_mp} clips): "
+            f"{dt:.2f}s = {mp_sustained:.2f} clips/s "
+            f"(cold incl. spawn: {mp_cold:.2f} clips/s; "
+            f"single-process sustained {sustained:.2f})")
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    return rate, decode_rate, sustained, mp_sustained, mp_producer
+    return (rate, decode_rate, sustained, mp_sustained, mp_producer,
+            mp_cold)
 
 
 def _mp_producer_rate(path, hw, host_gray, fh, fw, q):
@@ -576,8 +589,8 @@ def main():
                                 warm_iters=args.warm_iters)
         metrics["extraction_device_clips_per_s_chip"] = round(rate, 3)
     if args.mode in ("e2e", "all"):
-        e2e_rate, decode_rate, sustained, mp_sustained, mp_producer = \
-            bench_e2e(
+        (e2e_rate, decode_rate, sustained, mp_sustained, mp_producer,
+         mp_cold) = bench_e2e(
                 batch_clips=args.batch_clips, host_gray=args.host_gray,
                 host_crop=args.host_crop, host_yuv420=args.host_yuv420)
         metrics["e2e_file_to_csvs_clips_per_s"] = round(e2e_rate, 3)
@@ -586,6 +599,7 @@ def main():
         metrics["mp_producer_clips_per_s_2workers"] = round(mp_producer, 3)
         metrics["e2e_mp_sustained_clips_per_s_2workers"] = \
             round(mp_sustained, 3)
+        metrics["e2e_mp_cold_clips_per_s_2workers"] = round(mp_cold, 3)
         if args.mode == "e2e":
             return emit("e2e_video_file_to_csvs_throughput",
                         round(e2e_rate, 3), "clips/s/chip",

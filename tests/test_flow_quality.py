@@ -125,3 +125,89 @@ def test_epe_for_config_runs_on_cpu():
                          TVL1Params(n_scales=3, n_warps=2, n_iters=10), 2)
     assert np.isfinite(res["epe_mean"]) and np.isfinite(res["epe_bg"])
     assert res["epe_bg"] < 3.0  # static/translating background, compensated
+
+
+def test_v4_classes_present_and_labeled():
+    """Corpus v4 appends the time-varying classes; version=3 reproduces the
+    round-4 corpus exactly (same clip count, bitwise frames)."""
+    from tools.flow_quality import MOTION_CLASSES, V4_CLASSES
+
+    c3, l3 = make_corpus(frames=6, seed=5, version=3)
+    c4, l4 = make_corpus(frames=6, seed=5, version=4)
+    assert len(c3) == 2 * len(MOTION_CLASSES)
+    assert len(c4) == 2 * (len(MOTION_CLASSES) + len(V4_CLASSES))
+    np.testing.assert_array_equal(c3, c4[: len(c3)])
+    np.testing.assert_array_equal(l3, l4[: len(l3)])
+
+
+@pytest.mark.parametrize("v4_i", [0, 2, 4])  # accel, reverse, burst
+def test_v4_truth_photometric_consistency(v4_i):
+    """The time-varying classes' ground-truth fields must map frame t onto
+    t+1 photometrically, like the v3 classes."""
+    from tools.flow_quality import MOTION_CLASSES
+
+    class_i = len(MOTION_CLASSES) + v4_i
+    clips, labels, truths = make_corpus(frames=12, seed=4, with_truth=True)
+    ci = int(np.argmax(labels == class_i))
+    meta = truths[ci]
+    frames = clips[ci].astype(np.float32)
+    f, h, w = frames.shape[:3]
+    checked = 0
+    for t in range(f - 1):
+        gt = truth_residual_flow(meta, t, h, w)
+        if gt is None:
+            continue
+        field, valid = gt
+        cam_x, cam_y = _camera_field(meta, t, h, w)
+        fx = field[..., 0] + cam_x
+        fy = field[..., 1] + cam_y
+        recon = _warp_backward(frames[t + 1], fx, fy)
+        m = valid.copy()
+        m[:6] = m[-6:] = False
+        m[:, :6] = m[:, -6:] = False
+        box = np.abs(field).sum(-1) > 0
+        import cv2
+
+        edge = cv2.dilate(box.astype(np.uint8), np.ones((5, 5), np.uint8)) \
+            .astype(bool) & ~cv2.erode(box.astype(np.uint8),
+                                       np.ones((5, 5), np.uint8)).astype(bool)
+        m &= ~edge
+        err = np.abs(recon - frames[t]).mean(-1)
+        assert err[m].mean() < 2.0, (class_i, t, err[m].mean())
+        checked += 1
+    assert checked >= 6
+
+
+def test_v4_cut_pair_has_no_truth():
+    """The mid-clip content-cut pair must be excluded from EPE accounting
+    (no pixel correspondence exists); its neighbors stay testable."""
+    from tools.flow_quality import MOTION_CLASSES, V4_CLASSES
+
+    cut_i = len(MOTION_CLASSES) + next(
+        i for i, (_, pan) in enumerate(V4_CLASSES) if pan == "cut")
+    clips, labels, truths = make_corpus(frames=10, seed=6, with_truth=True)
+    meta = truths[int(np.argmax(labels == cut_i))]
+    h, w = clips.shape[2:4]
+    cut_t = meta["cut_t"]
+    assert truth_residual_flow(meta, cut_t - 1, h, w) is None
+    assert truth_residual_flow(meta, cut_t - 2, h, w) is not None
+    assert truth_residual_flow(meta, cut_t, h, w) is not None
+    # and the frames really change content at the cut
+    d_cut = np.abs(clips[labels == cut_i][0][cut_t].astype(float)
+                   - clips[labels == cut_i][0][cut_t - 1].astype(float)).mean()
+    d_pre = np.abs(clips[labels == cut_i][0][cut_t - 1].astype(float)
+                   - clips[labels == cut_i][0][cut_t - 2].astype(float)).mean()
+    assert d_cut > 3 * d_pre
+
+
+def test_v4_burst_velocity_program():
+    """Burst classes move only inside their window; reversal flips sign at
+    mid-clip."""
+    from tools.flow_quality import _v4_vels
+
+    v = _v4_vels({"kind": "burst", "v": (8.0, 0.0), "t0": 0.35, "t1": 0.55},
+                 30)
+    assert (v[:10] == 0).all() and (v[17:] == 0).all()
+    assert (v[11:16, 0] == 8.0).all()
+    r = _v4_vels({"kind": "reverse", "v": (5.0, 0.0)}, 30)
+    assert (r[:15, 0] == 5.0).all() and (r[15:, 0] == -5.0).all()

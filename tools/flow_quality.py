@@ -55,6 +55,52 @@ MOTION_CLASSES = [  # (object velocity, camera pan) — strongly distinct
 ZOOM_PER_FRAME = 0.004           # 0.4%/frame zoom-in
 JITTER_PAN = (1.5, 0.0)          # mean pan of the jitter class
 JITTER_STD = 1.25                # px/frame camera jitter (per axis)
+
+# CORPUS v4 (round 5): time-varying object motion + mid-clip content
+# change. The v3 classes all have CONSTANT per-clip motion, so any evenly
+# spaced tick subset sees the same signal (the tick-budget curve was flat
+# by construction) and a warm-started neighbor pair's flow is always a
+# good initializer (warm staleness was never stressed). These classes make
+# both axes measurable:
+#   - accel:   velocity grows linearly 0 -> ~2x the fast classes
+#   - reverse: direction flips at mid-clip (worst case for warm chains)
+#   - burst:   motion confined to a ~20% window of the clip (tick budgets
+#              under-sample the event; mean-pooled embeddings get a
+#              high-variance estimate of the motion share)
+#   - cut:     the scene content is REPLACED mid-clip (texture and object;
+#              the cut pair has no correspondence, so warm starts across
+#              it inject garbage and rescue sees a saturated residual)
+# Spec: {"kind", ...} per-frame velocity program + pan ("cut" = static
+# camera with the content switch).
+V4_CLASSES = [
+    ({"kind": "accel", "a": (0.30, 0.0)}, (0.0, 0.0)),
+    ({"kind": "accel", "a": (0.0, -0.22)}, (0.0, 0.0)),
+    ({"kind": "reverse", "v": (5.0, 0.0)}, (0.0, 0.0)),
+    ({"kind": "reverse", "v": (0.0, 4.0)}, (1.5, 0.0)),
+    ({"kind": "burst", "v": (8.0, 0.0), "t0": 0.35, "t1": 0.55}, (0.0, 0.0)),
+    ({"kind": "burst", "v": (0.0, 8.0), "t0": 0.65, "t1": 0.85}, (0.0, 0.0)),
+    ({"kind": "const", "v": (3.0, 1.0)}, "cut"),
+    ({"kind": "const", "v": (-3.0, -1.0)}, "cut"),
+]
+
+
+def _v4_vels(spec, frames: int) -> "np.ndarray":
+    """Per-pair object velocity program [frames, 2] (px/frame, pre-scale)."""
+    t = np.arange(frames, dtype=np.float64)[:, None]
+    kind = spec["kind"]
+    if kind == "accel":
+        return t * np.asarray(spec["a"])[None]
+    if kind == "reverse":
+        v = np.asarray(spec["v"], np.float64)
+        return np.where(t < frames // 2, v[None], -v[None])
+    if kind == "burst":
+        v = np.asarray(spec["v"], np.float64)
+        on = (t >= spec["t0"] * frames) & (t < spec["t1"] * frames)
+        return np.where(on, v[None], 0.0)
+    if kind == "const":
+        return np.broadcast_to(np.asarray(spec["v"], np.float64),
+                               (frames, 2)).copy()
+    raise ValueError(kind)
 PERSP_RATE = 0.008               # perspective accumulation per frame (the
                                  # h31/h32 term in normalized [-1,1] coords:
                                  # ~0.7 px/frame of camera motion at the
@@ -72,11 +118,17 @@ def _persp_mats(pan: str, t: float, h: int, w: int) -> "np.ndarray":
     return T @ np.linalg.inv(N) @ C @ N
 
 
-def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
+def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False,
+                version=4):
     """Two clips per motion class (different textures/objects, same motion):
     the retrieval metric is whether each clip's nearest flow-neighbor is its
     motion partner. scale multiplies resolution, object size AND velocities
     (proportional motion at production-like frame sizes).
+
+    version=4 (default) appends the time-varying V4_CLASSES (accelerating /
+    reversing / burst motion, mid-clip content cuts) to the 12 constant-
+    motion v3 classes; version=3 reproduces the round-4 corpus exactly
+    (the v3 gate numbers in docs/TUNING.md stay comparable).
 
     with_truth=True additionally returns per-clip ground-truth metadata
     (object box track + camera model) — the scenes are generated from KNOWN
@@ -85,8 +137,11 @@ def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
 
     rng = np.random.default_rng(seed)
     h, w, osz = h * scale, w * scale, 28 * scale
+    classes = list(MOTION_CLASSES)
+    if version >= 4:
+        classes += V4_CLASSES
     clips, labels, truths = [], [], []
-    for ci, (obj_v, pan) in enumerate(MOTION_CLASSES):
+    for ci, (obj_v, pan) in enumerate(classes):
         for rep in range(2):
             # CORPUS v3 (round 4): coherent multi-scale textures at full
             # contrast. The original corpus Gaussian-blurred iid noise
@@ -120,6 +175,21 @@ def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
             jitter = (rng.normal(0, JITTER_STD * scale, (frames, 2))
                       if pan == "jitter" else None)
             persp_mats = []
+            if isinstance(obj_v, dict):  # v4 time-varying program
+                vels = _v4_vels(obj_v, frames)
+                # cum[t] = position offset at frame t; disp t->t+1 = vels[t]
+                cum = np.vstack([np.zeros((1, 2)),
+                                 np.cumsum(vels, axis=0)])[:frames]
+                peak = np.max(np.abs(vels), axis=0)
+                peak_v = (float(peak[0]), float(peak[1]))
+            else:
+                vels, cum, peak_v = None, None, obj_v
+            cut_t, base2, obj2 = None, None, None
+            if pan == "cut":
+                cut_t = frames // 2
+                base2 = _texture(h * 2, w * 2, coarse=16 * scale,
+                                 fine=4 * scale)
+                obj2 = _texture(osz, osz, coarse=8 * scale, fine=3 * scale)
             for t in range(frames):
                 if pan in ("perspx", "perspy"):
                     M = _persp_mats(pan, t, h, w)
@@ -136,6 +206,13 @@ def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
                     x0 = (w * 2 - cw) // 2
                     f = cv2.resize(base[y0:y0 + ch, x0:x0 + cw], (w, h))
                     origins.append(None)
+                elif pan == "cut":
+                    # static camera; the whole scene content is replaced at
+                    # mid-clip (base2/obj2) — the cut pair has no pixel
+                    # correspondence
+                    b = base if t < cut_t else base2
+                    f = b[:h, :w].copy()
+                    origins.append((0, 0))
                 else:
                     px_, py_ = (JITTER_PAN if pan == "jitter" else pan)
                     ox = int(t * px_ * scale
@@ -144,16 +221,23 @@ def make_corpus(frames=30, h=128, w=176, seed=0, scale=1, with_truth=False):
                              + (jitter[t, 1] if jitter is not None else 0)) % h
                     f = base[oy:oy + h, ox:ox + w].copy()
                     origins.append((ox, oy))
-                px = int(obj_xy[0] + t * obj_v[0] * scale) % (w - osz)
-                py = int(obj_xy[1] + t * obj_v[1] * scale) % (h - osz)
-                f[py:py + osz, px:px + osz] = obj
+                if cum is not None:  # v4 time-varying program
+                    px = int(obj_xy[0] + cum[t, 0] * scale) % (w - osz)
+                    py = int(obj_xy[1] + cum[t, 1] * scale) % (h - osz)
+                else:
+                    px = int(obj_xy[0] + t * obj_v[0] * scale) % (w - osz)
+                    py = int(obj_xy[1] + t * obj_v[1] * scale) % (h - osz)
+                cur_obj = (obj2 if (cut_t is not None and t >= cut_t
+                                    and obj2 is not None) else obj)
+                f[py:py + osz, px:px + osz] = cur_obj
                 fr.append(f)
                 track.append((px, py))
             clips.append(np.stack(fr))
             labels.append(ci)
-            truths.append({"obj_v": obj_v, "pan": pan, "osz": osz,
+            truths.append({"obj_v": peak_v, "pan": pan, "osz": osz,
                            "track": track, "origins": origins,
-                           "scale": scale, "persp_mats": persp_mats})
+                           "scale": scale, "persp_mats": persp_mats,
+                           "vels": vels, "cut_t": cut_t})
     clips = np.stack(clips)
     labels = np.asarray(labels)
     if with_truth:
@@ -175,10 +259,19 @@ def truth_residual_flow(meta, t, h, w):
     osz = meta["osz"]
     scale = meta["scale"]
     obj_v, pan = meta["obj_v"], meta["pan"]
-    # object modulo-wrap -> skip the pair
-    if (abs(px1 - px0) > abs(obj_v[0]) * scale + 1.5
+    vels = meta.get("vels")
+    cut_t = meta.get("cut_t")
+    if cut_t is not None and t + 1 == cut_t:
+        return None  # the cut pair has no pixel correspondence
+    if vels is not None:
+        # v4 time-varying program: the pair's displacement is vels[t]
+        # (+2.5: int-rounding of both endpoint positions)
+        if (abs(px1 - px0) > abs(vels[t, 0]) * scale + 2.5
+                or abs(py1 - py0) > abs(vels[t, 1]) * scale + 2.5):
+            return None  # object modulo-wrap
+    elif (abs(px1 - px0) > abs(obj_v[0]) * scale + 1.5
             or abs(py1 - py0) > abs(obj_v[1]) * scale + 1.5):
-        return None
+        return None  # object modulo-wrap
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
     if pan in ("perspx", "perspy"):
         # content at output x in frame t sits at base point M_t x; in frame
@@ -194,6 +287,9 @@ def truth_residual_flow(meta, t, h, w):
         r = s1 / s0 - 1.0
         cam_x = (xs - (w - 1) / 2.0) * r
         cam_y = (ys - (h - 1) / 2.0) * r
+    elif pan == "cut":
+        cam_x = np.zeros((h, w), np.float32)  # static camera
+        cam_y = np.zeros((h, w), np.float32)
     else:
         (ox0, oy0), (ox1, oy1) = meta["origins"][t], meta["origins"][t + 1]
         dox, doy = ox1 - ox0, oy1 - oy0
@@ -414,6 +510,10 @@ def main():
                     help="also sweep reduced-iteration candidate configs")
     ap.add_argument("--seeds", type=int, nargs="+", default=[0],
                     help="corpus seeds; accuracy averages across them")
+    ap.add_argument("--corpus", type=int, default=4, choices=[3, 4],
+                    help="corpus version: 4 (default) adds time-varying "
+                         "motion + content cuts; 3 = the round-4 corpus "
+                         "(its TUNING.md gate numbers stay comparable)")
     ap.add_argument("--scale", type=int, default=1,
                     help="corpus resolution/motion multiplier (2 =~ the "
                          "production 256x340 decode geometry)")
@@ -616,7 +716,8 @@ def main():
     results = {}
     for seed in args.seeds:
         clips, labels, truths = make_corpus(seed=seed, scale=args.scale,
-                                            with_truth=True)
+                                            with_truth=True,
+                                            version=args.corpus)
         for name, cfg in configs.items():
             impl, tvl1, div = cfg[:3]
             wg = cfg[3] if len(cfg) > 3 else 0
