@@ -27,11 +27,52 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _textured_motion_frames(batch: int, frames: int, h: int, w: int,
+                            rng) -> np.ndarray:
+    """Coherent multi-scale textures with a camera pan + a moving object
+    (the flow-quality corpus recipe at bench geometry). This is the
+    REPRESENTATIVE extraction input: uniform noise makes every pair's
+    solved flow garbage, which fires the fast-motion rescue on EVERY
+    batch and hands warm starts a useless initializer — a worst case no
+    real video resembles (kept as the `extraction_noise_*` metric)."""
+    import cv2
+
+    def texture(hh, ww, cell):
+        n = rng.random((hh // cell + 2, ww // cell + 2, 3))
+        t = cv2.resize(n, (ww, hh), interpolation=cv2.INTER_CUBIC)
+        t -= t.min()
+        return (t / max(t.max(), 1e-9) * 255).astype(np.uint8)
+
+    def pingpong(x, lim):
+        # reflect instead of wrap: a modulo wrap is a scene cut that fires
+        # the fast-motion rescue — rare in real clips, not representative
+        x = int(abs(x)) % (2 * lim)
+        return x if x < lim else 2 * lim - 1 - x
+
+    out = np.empty((batch, frames, h, w, 3), np.uint8)
+    osz = 48
+    for b in range(batch):
+        base = texture(2 * h, 2 * w, 24) // 2 + texture(2 * h, 2 * w, 6) // 2
+        obj = texture(osz, osz, 8)
+        pvx, pvy = rng.uniform(0.5, 2.5), rng.uniform(-1.0, 1.0)
+        ovx, ovy = rng.uniform(-4.0, 4.0), rng.uniform(-3.0, 3.0)
+        for t in range(frames):
+            ox, oy = pingpong(t * pvx, w), pingpong(t * pvy, h)
+            f = base[oy:oy + h, ox:ox + w].copy()
+            px = pingpong(60 + t * ovx, w - osz)
+            py = pingpong(40 + t * ovy, h - osz)
+            f[py:py + osz, px:px + osz] = obj
+            out[b, t] = f
+    return out
+
+
 def bench_extraction(n_batches: int = 8, batch_clips: int = 8,
                      frames_per_clip: int = 150, hw=(256, 340),
                      num_ticks: int = 25, splits=(1, 2, 3),
                      flow_res_div: int = 2, flow_warm_group: int | None = None,
                      warm_iters: int | None = None,
+                     tvl1_kw: dict | None = None,
+                     frames_kind: str = "textured",
                      dtype: str = "bfloat16") -> float:
     import dataclasses
 
@@ -51,11 +92,18 @@ def bench_extraction(n_batches: int = 8, batch_clips: int = 8,
     tvl1 = PRODUCTION_TVL1
     if warm_iters is not None:
         tvl1 = dataclasses.replace(tvl1, warm_iters=warm_iters)
+    if tvl1_kw:
+        tvl1 = dataclasses.replace(tvl1, **tvl1_kw)
 
     rng = np.random.default_rng(0)
-    frames_np = rng.integers(0, 255,
-                             (batch_clips, frames_per_clip, h // flow_res_div * flow_res_div,
-                              w // flow_res_div * flow_res_div, 3), np.uint8)
+    bh = h // flow_res_div * flow_res_div
+    bw = w // flow_res_div * flow_res_div
+    if frames_kind == "textured":
+        frames_np = _textured_motion_frames(batch_clips, frames_per_clip,
+                                            bh, bw, rng)
+    else:
+        frames_np = rng.integers(
+            0, 255, (batch_clips, frames_per_clip, bh, bw, 3), np.uint8)
     frames = jax.device_put(jnp.asarray(frames_np))
     from videoquery.pipeline.sampling import flow_pair_plan
 
@@ -201,6 +249,8 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
     sustained = 0.0
     mp_sustained = 0.0
     mp_producer = 0.0
+    mp_cold = 0.0
+    e2e_floor = (0.0, 0.0, 0.0)
     if sustained_frames:
         long_video = os.path.join(tmp, "bench_long.mp4")
         decode.synthesize_video(long_video, n_frames=sustained_frames,
@@ -214,6 +264,36 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
         log(f"[e2e] sustained ({n_long} clips, "
             f"{(n_long + batch_clips - 1)//batch_clips} batches): {dt:.2f}s "
             f"= {sustained:.2f} clips/s")
+
+        # Upload-floor accounting (VERDICT r4 #6): bytes/clip actually
+        # shipped at these settings x this session's measured tunnel
+        # bandwidth -> the hard ceiling the tunnel imposes on e2e.
+        from videoquery.pipeline.payload import stream_payloads
+
+        pl = next(iter(stream_payloads(long_video, ex.cfg, ex.flow_res_div,
+                                       ex._decode_size())))
+        per_clip = sum(
+            a.nbytes for a in (pl.clip_rgb, pl.gray) if a is not None
+        ) / len(pl.nums)
+        import jax.numpy as jnp
+
+        del jnp
+        buf = np.zeros(64 * 1024 * 1024, np.uint8)
+        up_mbps = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            d = jax.device_put(buf)
+            # a tail readback can't start until the upload materializes
+            # (block_until_ready does not block on this backend)
+            float(np.asarray(d[-8:]).sum())
+            up_mbps = max(up_mbps, buf.nbytes / 1e6 / (time.time() - t0))
+        floor = up_mbps * 1e6 / per_clip
+        log(f"[e2e] upload floor: {per_clip/1e6:.2f} MB/clip shipped, "
+            f"tunnel {up_mbps:.0f} MB/s this session -> ceiling "
+            f"{floor:.1f} clips/s; sustained runs at "
+            f"{100 * sustained / floor:.0f}% of it")
+        e2e_floor = (round(per_clip / 1e6, 2), round(up_mbps, 1),
+                     round(floor, 1))
 
         # multi-process producer (pipeline/mpstream.py): 2 decode workers
         # over 2 distinct videos feeding the one dispatcher. (a) aggregate
@@ -271,7 +351,7 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
 
     shutil.rmtree(tmp, ignore_errors=True)
     return (rate, decode_rate, sustained, mp_sustained, mp_producer,
-            mp_cold)
+            mp_cold, e2e_floor)
 
 
 def _mp_producer_rate(path, hw, host_gray, fh, fw, q):
@@ -588,9 +668,17 @@ def main():
                                 batch_clips=args.batch_clips,
                                 warm_iters=args.warm_iters)
         metrics["extraction_device_clips_per_s_chip"] = round(rate, 3)
+        # worst case: uniform noise fires the fast-motion rescue on every
+        # batch and defeats warm starts (same compiled program; the
+        # rounds-1-4 bench series used this input)
+        noise = bench_extraction(n_batches=args.batches,
+                                 batch_clips=args.batch_clips,
+                                 warm_iters=args.warm_iters,
+                                 frames_kind="noise")
+        metrics["extraction_noise_worstcase_clips_per_s"] = round(noise, 3)
     if args.mode in ("e2e", "all"):
         (e2e_rate, decode_rate, sustained, mp_sustained, mp_producer,
-         mp_cold) = bench_e2e(
+         mp_cold, e2e_floor) = bench_e2e(
                 batch_clips=args.batch_clips, host_gray=args.host_gray,
                 host_crop=args.host_crop, host_yuv420=args.host_yuv420)
         metrics["e2e_file_to_csvs_clips_per_s"] = round(e2e_rate, 3)
@@ -600,6 +688,9 @@ def main():
         metrics["e2e_mp_sustained_clips_per_s_2workers"] = \
             round(mp_sustained, 3)
         metrics["e2e_mp_cold_clips_per_s_2workers"] = round(mp_cold, 3)
+        metrics["e2e_payload_mb_per_clip"] = e2e_floor[0]
+        metrics["e2e_tunnel_upload_mb_per_s"] = e2e_floor[1]
+        metrics["e2e_upload_floor_clips_per_s"] = e2e_floor[2]
         if args.mode == "e2e":
             return emit("e2e_video_file_to_csvs_throughput",
                         round(e2e_rate, 3), "clips/s/chip",

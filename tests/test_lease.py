@@ -175,3 +175,26 @@ def test_lease_disabled_leaves_state_3_alone(api_world):
 def test_broker_config_lease_env(monkeypatch):
     monkeypatch.setenv("BROKER_LEASE_SECONDS", "42.5")
     assert BrokerConfig.from_env().lease_seconds == 42.5
+
+
+def test_missing_list_route_warns_once_and_disables(caplog):
+    """An API without the `queries list?process_state=` route (the one
+    route lease recovery needs beyond the reference surface — SURVEY.md
+    Appendix A, docs/PARITY.md) degrades to recovery-off with ONE visible
+    WARNING, not silence (round-4 VERDICT #8)."""
+    import logging
+
+    class NoListClient:
+        def action(self, action, params=None, encoding=None):
+            if tuple(action) == ("queries", "list"):
+                raise KeyError("no such route")
+            raise AssertionError("recovery must only probe queries/list")
+
+    rec = LeaseRecovery(NoListClient(), lease_seconds=300.0)
+    with caplog.at_level(logging.WARNING, logger="videoquery.service.lease"):
+        assert rec.recover(now=1000.0) == []
+        assert rec.recover(now=2000.0) == []
+    warnings = [r for r in caplog.records
+                if "lease recovery disabled" in r.getMessage()]
+    assert len(warnings) == 1
+    assert "process_state" in warnings[0].getMessage()
