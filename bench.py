@@ -225,6 +225,24 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
         f"{' + gray' if host_gray else ''}): {producer_fps:.0f} fps/core = "
         f"{decode_rate:.1f} clips/s")
 
+    # FULL producer ceiling: decode + gray + payload build (crop, yuv420,
+    # concat) — everything the one host core must do per clip besides the
+    # grpc upload itself. The gap between this and sustained is the
+    # upload-serialization + dispatch share of the same core.
+    cfg_full = ExtractionConfig(batch_clips=batch_clips,
+                                host_gray=host_gray, host_crop=host_crop,
+                                host_yuv420=host_crop and host_yuv420)
+    from videoquery.pipeline.payload import stream_payloads as _sp
+
+    full_rate = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        n_p = sum(len(pl.nums)
+                  for pl in _sp(video, cfg_full, cfg_full.flow_res_div, None))
+        full_rate = max(full_rate, n_p / (time.time() - t0))
+    log(f"[e2e] full producer ceiling (+payload build): "
+        f"{full_rate:.1f} clips/s/core")
+
     log(f"[e2e] building TSN ensemble (splits={splits})")
     tsn = TwoStreamTSN.random(jax.random.PRNGKey(0), splits=splits,
                               dtype=jax.numpy.bfloat16)
@@ -350,8 +368,12 @@ def bench_e2e(n_frames: int = 1204, hw=(340, 256), batch_clips: int = 8,
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    return (rate, decode_rate, sustained, mp_sustained, mp_producer,
-            mp_cold, e2e_floor)
+    return {
+        "rate": rate, "decode_rate": decode_rate,
+        "full_producer_rate": full_rate, "sustained": sustained,
+        "mp_sustained": mp_sustained, "mp_producer": mp_producer,
+        "mp_cold": mp_cold, "floor": e2e_floor,
+    }
 
 
 def _mp_producer_rate(path, hw, host_gray, fh, fw, q):
@@ -677,20 +699,24 @@ def main():
                                  frames_kind="noise")
         metrics["extraction_noise_worstcase_clips_per_s"] = round(noise, 3)
     if args.mode in ("e2e", "all"):
-        (e2e_rate, decode_rate, sustained, mp_sustained, mp_producer,
-         mp_cold, e2e_floor) = bench_e2e(
+        r = bench_e2e(
                 batch_clips=args.batch_clips, host_gray=args.host_gray,
                 host_crop=args.host_crop, host_yuv420=args.host_yuv420)
+        e2e_rate = r["rate"]
         metrics["e2e_file_to_csvs_clips_per_s"] = round(e2e_rate, 3)
-        metrics["e2e_sustained_clips_per_s"] = round(sustained, 3)
-        metrics["host_producer_clips_per_s_ceiling"] = round(decode_rate, 3)
-        metrics["mp_producer_clips_per_s_2workers"] = round(mp_producer, 3)
+        metrics["e2e_sustained_clips_per_s"] = round(r["sustained"], 3)
+        metrics["host_producer_clips_per_s_ceiling"] = \
+            round(r["decode_rate"], 3)
+        metrics["e2e_full_producer_clips_per_s_core"] = \
+            round(r["full_producer_rate"], 3)
+        metrics["mp_producer_clips_per_s_2workers"] = \
+            round(r["mp_producer"], 3)
         metrics["e2e_mp_sustained_clips_per_s_2workers"] = \
-            round(mp_sustained, 3)
-        metrics["e2e_mp_cold_clips_per_s_2workers"] = round(mp_cold, 3)
-        metrics["e2e_payload_mb_per_clip"] = e2e_floor[0]
-        metrics["e2e_tunnel_upload_mb_per_s"] = e2e_floor[1]
-        metrics["e2e_upload_floor_clips_per_s"] = e2e_floor[2]
+            round(r["mp_sustained"], 3)
+        metrics["e2e_mp_cold_clips_per_s_2workers"] = round(r["mp_cold"], 3)
+        metrics["e2e_payload_mb_per_clip"] = r["floor"][0]
+        metrics["e2e_tunnel_upload_mb_per_s"] = r["floor"][1]
+        metrics["e2e_upload_floor_clips_per_s"] = r["floor"][2]
         if args.mode == "e2e":
             return emit("e2e_video_file_to_csvs_throughput",
                         round(e2e_rate, 3), "clips/s/chip",
