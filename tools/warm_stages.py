@@ -101,8 +101,9 @@ def main():
 
     cam = jax.jit(lambda a, bb: estimate_camera(a, bb, p, None))
     t_camest, A = timeit(cam, i0k, i1k, reps=args.reps)
-    Aw = jnp.reshape(jnp.take(A.reshape(b, k, 2, 3), jnp.asarray(ws), 1),
-                     (b * m, 2, 3))
+    ar, ac = A.shape[-2:]  # 2x3 affine or 3x3 homography (round-4 default)
+    Aw = jnp.reshape(jnp.take(A.reshape(b, k, ar, ac), jnp.asarray(ws), 1),
+                     (b * m, ar, ac))
     t_camapply, i1wc = timeit(jax.jit(apply_camera), i1w, Aw, reps=args.reps)
 
     u0 = jnp.zeros((b * m, fh, fw), jnp.float32)

@@ -419,7 +419,7 @@ def _auto_pairs(hp: int, wp: int, hh: int, ww: int, requested: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("p", "max_disp", "pairs_per_program"))
 def tvl1_level_pallas(i0, i1, u, v, p: TVL1Params = TVL1Params(),
-                      max_disp: int = 8, pairs_per_program: int = 1):
+                      max_disp: int = 6, pairs_per_program: int = 1):
     """One TV-L1 pyramid level for a batch of frame pairs. i0, i1, u, v:
     f32[N, H, W]; returns updated (u, v).
 
@@ -491,7 +491,7 @@ def tvl1_flow_pallas(
     I0: jax.Array,  # f32 [N, H, W] in [0, 1]
     I1: jax.Array,
     p: TVL1Params = TVL1Params(),
-    max_disp: int = 8,
+    max_disp: int = 6,
     pairs_per_program: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Full pyramidal TV-L1 using the Pallas level kernel. The shift window
@@ -646,7 +646,7 @@ def tvl1_warped_flow_pallas(
     I0: jax.Array,
     I1: jax.Array,
     p: TVL1Params = TVL1Params(),
-    max_disp: int = 8,
+    max_disp: int = 6,
     coarse_hw: tuple[int, int] | None = None,  # None -> p.coarse_hw
     pairs_per_program: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
@@ -665,7 +665,7 @@ def tvl1_warped_flow_pallas_cam(
     I0: jax.Array,
     I1: jax.Array,
     p: TVL1Params = TVL1Params(),
-    max_disp: int = 8,
+    max_disp: int = 6,
     coarse_hw: tuple[int, int] | None = None,
     pairs_per_program: int = 1,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -686,7 +686,7 @@ def tvl1_flow_pallas_warm(
     u0: jax.Array,  # f32 [N, H, W] initial flow (e.g. a neighbor pair's)
     v0: jax.Array,
     p: TVL1Params = TVL1Params(),
-    max_disp: int = 8,
+    max_disp: int = 6,
     levels: int = 1,
     pairs_per_program: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
@@ -728,7 +728,7 @@ def tvl1_warped_flow_pallas_warm(
     u0: jax.Array,
     v0: jax.Array,
     p: TVL1Params = TVL1Params(),
-    max_disp: int = 8,
+    max_disp: int = 6,
     coarse_hw: tuple[int, int] | None = None,
     levels: int = 1,
     pairs_per_program: int = 1,

@@ -130,12 +130,14 @@ def warm_tvl1_params(tvl1: TVL1Params) -> TVL1Params:
 
 
 def _rescue_fast_motion(i0, i1, u, v, warped: bool, tvl1: TVL1Params,
-                        max_disp: int = 8):
+                        max_disp: int = 6):
     """Second-chance solve for clamp-saturated pairs (TVL1Params.rescue_*).
 
-    The finest-level window clamps flow to ±max_disp grid px (±16 native px
-    at the production half-res grid) — the measured EPE floor on >10
-    px/frame motion (docs/TUNING.md res-sweep). Pairs whose solved flow
+    The finest-level window clamps flow to ±max_disp grid px (±12 native px
+    at the production half-res grid; round 5 narrowed the window d=8 -> 6
+    at measured-equal speed and slightly BETTER EPE on both corpora — the
+    >10 px/frame classes are temporal-aliasing-limited, so the wider
+    window only hunted aliasing ghosts, docs/TUNING.md). Pairs whose flow
     saturates the clamp are re-solved cold with a DOUBLED window at every
     pyramid level, fully batched on a top-k bucket of static size, under a
     lax.cond so batches with no fast motion skip the extra dispatch
