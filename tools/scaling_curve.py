@@ -110,8 +110,7 @@ def diagnose(n_devices: int, batch_clips: int, frames: int, hw, reps: int
     from videoquery.core.meshes import DATA_AXIS, make_mesh
     from videoquery.kernels.tvl1 import TVL1Params
     from videoquery.nn.tsn import TwoStreamTSN
-    from videoquery.pipeline.extract import (_ensemble_embed, _pair_flow,
-                                             _extract_step)
+    from videoquery.pipeline.extract import _ensemble_embed, _extract_step
     from videoquery.pipeline.preprocess import preprocess_rgb
     from videoquery.pipeline.sampling import (flow_stack_index_matrix,
                                               frame_ticks)
