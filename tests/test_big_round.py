@@ -134,3 +134,42 @@ def test_resident_cap_overflow_returns_none(problem):
     full = SearchEngine(index).compute_similarities(target)
     np.testing.assert_array_equal(table.avg_sim, full.avg_sim)
     np.testing.assert_array_equal(table.counts, full.counts)
+
+
+def test_group_round_scores_cap_overflow_escalates_solo(problem):
+    """round_scores_many: a query whose candidate band exceeds the group
+    cap must retry solo at the escalated caps and still match the solo
+    path bit-for-bit (the group download stays one program for the
+    others)."""
+    import numpy as np
+
+    from videoquery.search.engine import SearchEngine, round_scores_many
+
+    index, target, clip_ids = problem
+    engine = SearchEngine(index)
+    # two targets -> a real batch parent; low threshold makes the band huge
+    tables = engine.compute_similarities_multi([target, target],
+                                               resident=True)
+    weights = {"rgb": 1.0, "warped_optical_flow": 1.5}
+    wide = {"weights": weights, "threshold": -1.0, "near_miss": 0.0,
+            "keep_ids": [int(clip_ids[0])], "user_match_ids": [],
+            "finalize": False}
+    narrow = {"weights": weights, "threshold": 0.9, "near_miss": 0.1,
+              "keep_ids": [int(clip_ids[0])], "user_match_ids": [],
+              "finalize": False}
+    # caps: group cap 8 (the wide band overflows it), escalation 4096
+    got = round_scores_many(tables, [wide, narrow], caps=(8, 4096))
+    solo_wide = tables[0].round_scores(
+        weights, wide["threshold"], wide["near_miss"], wide["keep_ids"],
+        [], finalize=False, caps=(8, 4096))
+    solo_narrow = tables[1].round_scores(
+        weights, narrow["threshold"], narrow["near_miss"],
+        narrow["keep_ids"], [], finalize=False, caps=(8, 4096))
+    assert got[0] == solo_wide and len(got[0]) > 8
+    assert got[1] == solo_narrow
+    # a band wider than EVERY cap returns None like the solo path
+    got_none = round_scores_many(tables, [wide, narrow], caps=(8,))
+    assert got_none[0] is None
+    assert got_none[1] == tables[1].round_scores(
+        weights, narrow["threshold"], narrow["near_miss"],
+        narrow["keep_ids"], [], finalize=False, caps=(8,))
